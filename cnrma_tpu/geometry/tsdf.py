@@ -1,0 +1,148 @@
+"""TSDF container: npz IO, resampling under rigid transforms, mesh extraction.
+
+Re-implements the runtime TSDF container of the reference
+(``projects/mvsdetection/datasets/tsdf.py:31-178``) in numpy — this object
+lives in the host data pipeline (GT loading, space-transform augmentation,
+result saving); the on-device representation is a plain ``jnp`` array.
+
+The npz format is byte-compatible with the reference
+(keys ``origin`` [1,3] float, ``voxel_size`` scalar, ``tsdf`` [X,Y,Z]) so
+existing ``atlas_tsdf/{scene}/tsdf_{04,08,16}.npz`` GT files load unchanged
+and our saved results score with the reference's offline tools.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from cnrma_tpu.utils.marching_cubes import marching_cubes
+
+
+def coordinates_grid(voxel_dim: Sequence[int]) -> np.ndarray:
+    """3D meshgrid of voxel indices, shape [3, nx*ny*nz] (x fastest-varying
+    last) — same layout as reference ``tsdf.py:coordinates`` (:14-29)."""
+    nx, ny, nz = voxel_dim
+    x, y, z = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                          indexing="ij")
+    return np.stack([x.ravel(), y.ravel(), z.ravel()]).astype(np.int64)
+
+
+class TSDF:
+    """Truncated signed distance volume with voxel size + world origin."""
+
+    def __init__(self, voxel_size: float, origin, tsdf_vol):
+        self.voxel_size = float(voxel_size)
+        self.origin = np.asarray(origin, dtype=np.float32).reshape(1, 3)
+        self.tsdf_vol = np.asarray(tsdf_vol, dtype=np.float32)
+
+    # -- IO ----------------------------------------------------------------
+    def save(self, fname: str) -> None:
+        np.savez_compressed(
+            fname, origin=self.origin, voxel_size=self.voxel_size,
+            tsdf=self.tsdf_vol)
+
+    @classmethod
+    def load(cls, fname: str) -> "TSDF":
+        with np.load(fname) as data:
+            return cls(float(data["voxel_size"]),
+                       np.asarray(data["origin"]).reshape(1, 3),
+                       np.asarray(data["tsdf"]))
+
+    def copy(self) -> "TSDF":
+        return TSDF(self.voxel_size, self.origin.copy(), self.tsdf_vol.copy())
+
+    # -- mesh --------------------------------------------------------------
+    def get_mesh(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Extract the zero isosurface.
+
+        Matches reference ``tsdf.py:get_mesh`` (:81-114): negate (surface
+        front positive), suppress unknown-empty boundary (==1 after negation
+        of -1), clamp to [-1,1], marching cubes at level 0, vertices scaled
+        to world coordinates.
+
+        Returns: (verts [N,3] world-space, faces [M,3], normals [N,3]).
+        """
+        vol = -self.tsdf_vol.copy()
+        vol[vol == -1] = 1
+        vol = np.clip(vol, -1, 1)
+        if vol.min() >= 0 or vol.max() <= 0:
+            z3 = np.zeros((0, 3), np.float32)
+            return z3, np.zeros((0, 3), np.int32), z3
+        # reference runs MC at level 0 with positive-in-front; our
+        # marching_cubes treats "< level" as inside, so extract at level 0
+        # on the negated volume (inside = behind surface).
+        verts, faces, normals = marching_cubes(vol, level=0.0)
+        verts = verts * self.voxel_size + self.origin
+        return verts.astype(np.float32), faces, normals
+
+    # -- resampling --------------------------------------------------------
+    def transform(self, transform: Optional[np.ndarray] = None,
+                  voxel_dim: Optional[Sequence[int]] = None,
+                  origin=None) -> "TSDF":
+        """Resample the TSDF under a 4x4 world-space transform.
+
+        Mirrors reference ``tsdf.py:transform`` (:117-178): build the output
+        voxel grid, map through ``transform``, sample the old volume with
+        nearest interpolation, blend in trilinear samples where |tsdf|<1
+        (near surface), and mark voxels that fall outside the old volume
+        as empty (+1).  Reproduces the grid_sample(align_corners=False)
+        coordinate convention including its normalize-by-(dim-1) quirk.
+        """
+        old_dim = np.array(self.tsdf_vol.shape, dtype=np.int64)
+        old_origin = self.origin
+        if transform is None:
+            transform = np.eye(4, dtype=np.float32)
+        if voxel_dim is None:
+            voxel_dim = [int(d) for d in old_dim]
+        if origin is None:
+            origin = old_origin
+        origin = np.asarray(origin, dtype=np.float32).reshape(1, 3)
+
+        coords = coordinates_grid(voxel_dim).astype(np.float32)  # [3, P]
+        world = coords * self.voxel_size + origin.T
+        world = np.concatenate([world, np.ones_like(world[:1])], axis=0)
+        world = np.asarray(transform, dtype=np.float32)[:3, :] @ world
+        coords = (world - old_origin.T) / self.voxel_size      # old-grid idx
+
+        # normalized as in the reference: 2*c/(dim-1) - 1, then sampled with
+        # the align_corners=False unnormalization ((n+1)*W - 1)/2.
+        norm = 2.0 * coords / (old_dim[:, None].astype(np.float32) - 1.0) - 1.0
+        sample = ((norm + 1.0) * old_dim[:, None].astype(np.float32) - 1.0) / 2.0
+
+        nearest = self._sample_nearest(sample)
+        bilin = self._sample_trilinear(sample)
+        near_surface = np.abs(nearest) < 1
+        out = np.where(near_surface, bilin, nearest)
+
+        oob = (np.abs(norm) >= 1).any(axis=0)
+        out[oob] = 1.0
+        out = out.reshape(tuple(int(d) for d in voxel_dim))
+        return TSDF(self.voxel_size, origin, out.astype(np.float32))
+
+    def _sample_nearest(self, sample: np.ndarray) -> np.ndarray:
+        X, Y, Z = self.tsdf_vol.shape
+        # round-half-to-even like torch grid_sample nearest (nearbyint)
+        p = np.rint(sample).astype(np.int64)
+        p[0] = np.clip(p[0], 0, X - 1)
+        p[1] = np.clip(p[1], 0, Y - 1)
+        p[2] = np.clip(p[2], 0, Z - 1)
+        return self.tsdf_vol[p[0], p[1], p[2]]
+
+    def _sample_trilinear(self, sample: np.ndarray) -> np.ndarray:
+        X, Y, Z = self.tsdf_vol.shape
+        vol = self.tsdf_vol
+        p0 = np.floor(sample).astype(np.int64)
+        f = sample - p0
+        cl = lambda a, n: np.clip(a, 0, n - 1)
+        x0, y0, z0 = cl(p0[0], X), cl(p0[1], Y), cl(p0[2], Z)
+        x1, y1, z1 = cl(p0[0] + 1, X), cl(p0[1] + 1, Y), cl(p0[2] + 1, Z)
+        fx, fy, fz = f[0], f[1], f[2]
+        c = lambda xi, yi, zi: vol[xi, yi, zi]
+        return (((c(x0, y0, z0) * (1 - fx) + c(x1, y0, z0) * fx) * (1 - fy)
+                 + (c(x0, y1, z0) * (1 - fx) + c(x1, y1, z0) * fx) * fy)
+                * (1 - fz)
+                + ((c(x0, y0, z1) * (1 - fx) + c(x1, y0, z1) * fx) * (1 - fy)
+                   + (c(x0, y1, z1) * (1 - fx) + c(x1, y1, z1) * fx) * fy)
+                * fz)

@@ -1,0 +1,227 @@
+"""Ray marching aggregation — the signature op of CN-RMA.
+
+TPU-native re-design of reference ``ray_marching.py:ray_projection_neus``
+(:687-807) and ``ray_projection_depth`` (:809-956).  The reference marches
+H·W rays with 300 samples each, computes NeuS occupancy weights from the
+predicted TSDF, then compacts above-threshold samples with ``torch.nonzero``
+(dynamic shapes) into a per-view point list.  Here everything is static-shape:
+
+* per-view compaction uses a cumsum-position scatter into a fixed-capacity
+  buffer (order-preserving along rays; overflow beyond capacity is dropped,
+  the analog of the reference's later random 500k subsample);
+* each kept sample records (xyz, weight, u, v) — pixel features are gathered
+  *after* the global subsample, so the 5.76M-sample intermediate never touches
+  the 32-channel feature maps;
+* weights/TSDF math runs in fp32 on the VPU; the cumprod is a `cumsum` of
+  `log1p(-alpha)` free of sequential-scan issues.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class RayMarchPoints(NamedTuple):
+    """Fixed-capacity point buffer emitted per view (or concatenated)."""
+    xyz: jnp.ndarray      # [K, 3] f32 world coords
+    weight: jnp.ndarray   # [K] f32, 0 for empty slots
+    uv: jnp.ndarray       # [K, 2] int32 (u=col, v=row) source pixel
+    view: jnp.ndarray     # [K] int32 source view index (-1 for empty)
+
+    @property
+    def valid(self) -> jnp.ndarray:
+        return self.weight > 0
+
+
+def get_ray_parameters(projection: jnp.ndarray, height: int, width: int
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pixel ray origin and unit direction.
+
+    Mirrors reference ``get_ray_parameter`` (``ray_marching.py:71-111``):
+    extend the 3x4 projection to 4x4, invert, unproject pixel (u,v) at depth
+    0 and 1.
+
+    Args:
+        projection: [3,4] stride-adjusted projection.
+    Returns:
+        o: [3] camera center; d: [H*W, 3] unit directions.
+    """
+    P = jnp.concatenate(
+        [projection, jnp.array([[0., 0., 0., 1.]], jnp.float32)], axis=0)
+    Pinv = jnp.linalg.inv(P)
+    o = Pinv[:3, 3]
+    v, u = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
+                        jnp.arange(width, dtype=jnp.float32), indexing="ij")
+    uv1 = jnp.stack([u.ravel(), v.ravel(),
+                     jnp.ones(height * width, jnp.float32),
+                     jnp.ones(height * width, jnp.float32)], axis=1)  # [HW,4]
+    world1 = uv1 @ Pinv[:3, :].T                                     # [HW,3]
+    d = world1 - o[None, :]
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    return o, d
+
+
+def _sample_tsdf(tsdf: jnp.ndarray, places: jnp.ndarray,
+                 origin: jnp.ndarray, voxel_size: float
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Nearest-voxel TSDF lookup; out-of-volume -> (1.0, invalid)."""
+    X, Y, Z = tsdf.shape
+    ids = jnp.round((places - origin[None, :]) / voxel_size).astype(jnp.int32)
+    valid = ((ids[:, 0] >= 0) & (ids[:, 0] < X)
+             & (ids[:, 1] >= 0) & (ids[:, 1] < Y)
+             & (ids[:, 2] >= 0) & (ids[:, 2] < Z))
+    ids = jnp.where(valid[:, None], ids, 0)
+    flat = (ids[:, 0] * Y + ids[:, 1]) * Z + ids[:, 2]
+    vals = jnp.take(tsdf.reshape(-1), flat)
+    return jnp.where(valid, vals, 1.0), valid
+
+
+def _compact(mask: jnp.ndarray, capacity: int, *arrays):
+    """Order-preserving static-shape compaction of masked rows.
+
+    Returns arrays of leading dim `capacity`; rows beyond the number of kept
+    entries stay at their fill value (0).
+    """
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    slot = jnp.where(mask & (pos < capacity), pos, capacity)
+    outs = []
+    for a in arrays:
+        buf = jnp.zeros((capacity,) + a.shape[1:], a.dtype)
+        outs.append(buf.at[slot].set(a, mode="drop"))
+    return outs
+
+
+def neus_weights(tsdf_samples: jnp.ndarray) -> jnp.ndarray:
+    """NeuS-style occupancy weights along the last (sample) axis.
+
+    alpha_i = max((σ(-t_i) − σ(-t_{i+1})) / σ(-t_i), 0);
+    T_i = Π_{j<i} (1 − alpha_j);  w = T·alpha
+    (reference ``ray_marching.py:754-763``).
+    """
+    sig = jax.nn.sigmoid(-tsdf_samples)
+    sig_next = jnp.concatenate([sig[..., 1:], sig[..., -1:]], axis=-1)
+    alpha = jnp.clip((sig - sig_next) / jnp.maximum(sig, 1e-12), 0.0, None)
+    # cumprod via exclusive cumsum of logs — stable and scan-free
+    log1m = jnp.log1p(-jnp.clip(alpha, None, 1.0 - 1e-7))
+    t_log = jnp.cumsum(log1m, axis=-1) - log1m          # exclusive
+    return jnp.exp(t_log) * alpha
+
+
+def ray_march_neus(projection: jnp.ndarray,
+                   tsdf: jnp.ndarray,
+                   voxel_dim: Sequence[int],
+                   voxel_size: float,
+                   origin: jnp.ndarray,
+                   height: int,
+                   width: int,
+                   view_index,
+                   n_samples: int = 300,
+                   weight_threshold: float = 0.05,
+                   capacity: int = 32768) -> RayMarchPoints:
+    """March all pixels of one view through the TSDF, NeuS weighting.
+
+    Args:
+        projection: [3,4] stride-adjusted projection for this view.
+        tsdf: [X, Y, Z] predicted fine TSDF (fp32).
+        voxel_dim: static (X, Y, Z) — matches tsdf.shape.
+        view_index: scalar int — recorded per emitted point.
+        capacity: max points kept for this view (fixed shape).
+
+    Returns:
+        RayMarchPoints with fixed capacity; weight==0 marks empty slots.
+    """
+    X, Y, Z = voxel_dim
+    HW = height * width
+    o, d = get_ray_parameters(projection, height, width)
+
+    t_max = math.sqrt(X * X + Y * Y + Z * Z) * voxel_size
+    ts = jnp.arange(n_samples, dtype=jnp.float32) * (t_max / n_samples)
+
+    places = o[None, None, :] + d[:, None, :] * ts[None, :, None]  # [HW,N,3]
+    flat_places = places.reshape(HW * n_samples, 3)
+    tsdf_vals, valid = _sample_tsdf(tsdf, flat_places, origin, voxel_size)
+
+    w = neus_weights(tsdf_vals.reshape(HW, n_samples))
+    keep = valid.reshape(HW, n_samples) & (w >= weight_threshold)
+    w = jnp.where(keep, w, 0.0)
+
+    v_ids, u_ids = jnp.meshgrid(jnp.arange(height, dtype=jnp.int32),
+                                jnp.arange(width, dtype=jnp.int32),
+                                indexing="ij")
+    uv = jnp.stack([u_ids.ravel(), v_ids.ravel()], axis=1)        # [HW,2]
+    uv_full = jnp.broadcast_to(uv[:, None, :], (HW, n_samples, 2))
+
+    keep_f = keep.reshape(-1)
+    xyz_c, w_c, uv_c = _compact(
+        keep_f, capacity, flat_places, w.reshape(-1), uv_full.reshape(-1, 2))
+    view = jnp.where(w_c > 0, jnp.int32(view_index), jnp.int32(-1))
+    return RayMarchPoints(xyz=xyz_c, weight=w_c, uv=uv_c, view=view)
+
+
+def ray_march_depth(projection: jnp.ndarray,
+                    tsdf: jnp.ndarray,
+                    voxel_dim: Sequence[int],
+                    voxel_size: float,
+                    origin: jnp.ndarray,
+                    height: int,
+                    width: int,
+                    view_index,
+                    n_samples: int = 300,
+                    depth_points: int = 2,
+                    capacity: int = 32768) -> RayMarchPoints:
+    """Depth-prediction variant: first TSDF sign change along the ray, with
+    2*depth_points neighbors and linearly decaying weights
+    (reference ``ray_projection_depth``, ``ray_marching.py:809-956``).
+    """
+    X, Y, Z = voxel_dim
+    HW = height * width
+    o, d = get_ray_parameters(projection, height, width)
+
+    t_max = math.sqrt(X * X + Y * Y + Z * Z) * voxel_size
+    t_one = t_max / n_samples
+    ts = jnp.arange(n_samples, dtype=jnp.float32) * t_one
+
+    places = o[None, None, :] + d[:, None, :] * ts[None, :, None]
+    tsdf_vals, _ = _sample_tsdf(tsdf, places.reshape(-1, 3), origin,
+                                voxel_size)
+    tv = tsdf_vals.reshape(HW, n_samples)
+
+    prod = tv[:, :-1] * tv[:, 1:]
+    prod = jnp.concatenate([prod, jnp.ones((HW, 1), jnp.float32)], axis=1)
+    change = (prod <= 0).astype(jnp.float32)
+    best_index = jnp.argmax(change, axis=1)                     # [HW]
+    best_mask = jnp.sum(change, axis=1) > 0
+    best_weight = best_mask.astype(jnp.float32)
+
+    if depth_points > 0:
+        num = 2 * depth_points
+        add = jnp.arange(num, dtype=jnp.int32) - depth_points + 1
+        ramp = jnp.arange(1, depth_points + 1, dtype=jnp.float32)
+        multi_w = jnp.concatenate([ramp, ramp[::-1]]) / depth_points
+        sel_idx = best_index[:, None] + add[None, :]            # [HW,num]
+        sel_w = best_weight[:, None] * multi_w[None, :]
+        sel_w = sel_w * ((sel_idx >= 0) & (sel_idx < n_samples))
+        sel_t = sel_idx.astype(jnp.float32) * t_one
+    else:
+        num = 1
+        sel_t = (best_index.astype(jnp.float32) + 0.5)[:, None] * t_one
+        sel_w = best_weight[:, None]
+
+    sel_places = (o[None, None, :]
+                  + d[:, None, :] * sel_t[..., None])           # [HW,num,3]
+    v_ids, u_ids = jnp.meshgrid(jnp.arange(height, dtype=jnp.int32),
+                                jnp.arange(width, dtype=jnp.int32),
+                                indexing="ij")
+    uv = jnp.stack([u_ids.ravel(), v_ids.ravel()], axis=1)
+    uv_full = jnp.broadcast_to(uv[:, None, :], (HW, num, 2))
+
+    keep = (sel_w > 0).reshape(-1)
+    xyz_c, w_c, uv_c = _compact(
+        keep, capacity, sel_places.reshape(-1, 3), sel_w.reshape(-1),
+        uv_full.reshape(-1, 2))
+    view = jnp.where(w_c > 0, jnp.int32(view_index), jnp.int32(-1))
+    return RayMarchPoints(xyz=xyz_c, weight=w_c, uv=uv_c, view=view)

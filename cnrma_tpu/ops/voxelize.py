@@ -1,0 +1,103 @@
+"""Voxel key packing, sorting, dedup — the coordinate machinery under the
+sparse-conv stack.
+
+Replaces MinkowskiEngine's C++ coordinate hash maps
+(``ray_marching.py:328-330`` ``ME.utils.batch_sparse_collate`` /
+``ME.SparseTensor``) with a TPU-native scheme: voxel coordinates are packed
+into a single sortable int32 key; lookups are binary searches over the sorted
+key array; dedup is a sorted-run reduction.  Everything is fixed-capacity —
+empty slots carry the sentinel key (int32 max) which sorts to the end.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+SENTINEL_KEY = jnp.iinfo(jnp.int32).max  # 2147483647
+
+
+class VoxelGrid(NamedTuple):
+    """Static bounded coordinate domain for key packing.
+
+    Defaults cover a ±10.24 m x/y, −0.64..+4.46 m z workspace at 1 cm —
+    larger than the reference's biggest test grid (256·256·96 @ 4 cm =
+    10.24 m × 3.84 m, ``ray_marching_scannet.py:16``) with augmentation
+    headroom.  Coordinates outside the domain are treated as invalid.
+    """
+    bounds: Tuple[int, int, int] = (2048, 2048, 510)
+    shifts: Tuple[int, int, int] = (1024, 1024, 64)
+
+    def pack(self, coords: jnp.ndarray) -> jnp.ndarray:
+        """[..., 3] int32 voxel coords -> [...] int32 keys (OOB -> SENTINEL)."""
+        bx, by, bz = self.bounds
+        sx, sy, sz = self.shifts
+        x = coords[..., 0] + sx
+        y = coords[..., 1] + sy
+        z = coords[..., 2] + sz
+        ok = ((x >= 0) & (x < bx) & (y >= 0) & (y < by)
+              & (z >= 0) & (z < bz))
+        key = (x * by + y) * bz + z
+        return jnp.where(ok, key, SENTINEL_KEY).astype(jnp.int32)
+
+    def unpack(self, keys: jnp.ndarray) -> jnp.ndarray:
+        """Inverse of pack; sentinel keys map to OOB coords (bounds)."""
+        bx, by, bz = self.bounds
+        sx, sy, sz = self.shifts
+        z = keys % bz
+        xy = keys // bz
+        y = xy % by
+        x = xy // by
+        coords = jnp.stack([x - sx, y - sy, z - sz], axis=-1)
+        bad = (keys == SENTINEL_KEY)[..., None]
+        oob = jnp.array(self.bounds, jnp.int32)
+        return jnp.where(bad, oob, coords).astype(jnp.int32)
+
+
+def sort_by_key(keys: jnp.ndarray, *arrays):
+    """Sort keys ascending and apply the permutation to payload arrays."""
+    n = keys.shape[0]
+    perm = jnp.arange(n, dtype=jnp.int32)
+    keys_sorted, perm = jax.lax.sort_key_val(keys, perm)
+    return (keys_sorted,) + tuple(jnp.take(a, perm, axis=0) for a in arrays)
+
+
+def unique_sorted(keys_sorted: jnp.ndarray, capacity: int
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Collapse sorted keys to unique keys with fixed capacity.
+
+    Returns:
+        out_keys: [capacity] unique keys, sorted, SENTINEL-padded.
+        run_id:   [N] index into out_keys for every input element
+                  (== capacity for sentinel inputs and overflow — safe as a
+                  dropped scatter index / num_segments bucket).
+        n_unique: scalar int32 count (before capacity clipping).
+    """
+    n = keys_sorted.shape[0]
+    valid = keys_sorted != SENTINEL_KEY
+    prev = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), keys_sorted[:-1]])
+    firsts = valid & (keys_sorted != prev)
+    run_id = jnp.cumsum(firsts.astype(jnp.int32)) - 1
+    n_unique = jnp.where(n > 0, run_id[-1] + 1, 0)
+    run_id = jnp.where(valid & (run_id < capacity), run_id, capacity)
+    out_keys = jnp.full((capacity,), SENTINEL_KEY, jnp.int32)
+    slot = jnp.where(firsts, run_id, capacity)
+    out_keys = out_keys.at[slot].set(keys_sorted, mode="drop")
+    return out_keys, run_id, n_unique
+
+
+def lookup(keys_sorted: jnp.ndarray, queries: jnp.ndarray
+           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Binary-search queries in a sorted key array.
+
+    Returns (idx clipped to [0, N-1], found bool).  Sentinel queries are
+    never "found" (sentinel==sentinel hits are masked out).
+    """
+    n = keys_sorted.shape[0]
+    idx = jnp.searchsorted(keys_sorted, queries)
+    idx = jnp.clip(idx, 0, n - 1).astype(jnp.int32)
+    found = (jnp.take(keys_sorted, idx) == queries) & (queries != SENTINEL_KEY)
+    return idx, found

@@ -1,0 +1,261 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cnrma_tpu.ops.backproject import accumulate_views, backproject_view
+from cnrma_tpu.ops.ray_marching import (
+    get_ray_parameters, neus_weights, ray_march_depth, ray_march_neus)
+from cnrma_tpu.ops.iou3d import (
+    aligned_iou_3d, iou_3d_matrix, rotated_iou_3d,
+    rotated_rect_intersection_area, rect_corners_bev)
+from cnrma_tpu.ops.nms import multiclass_nms_np, nms_bev
+from cnrma_tpu.ops.losses import bce_loss, sigmoid_focal_loss, log_transform
+
+
+def simple_projection(fx=10.0, fy=10.0, cx=8.0, cy=6.0):
+    """Camera at origin looking down +z with world +z = camera +z."""
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+    E = np.eye(4, dtype=np.float32)  # camera-to-world
+    return (K @ np.linalg.inv(E)[:3, :]).astype(np.float32)
+
+
+class TestBackproject:
+    def test_center_pixel_hits_axis_voxels(self):
+        H, W, C = 12, 16, 4
+        proj = simple_projection()
+        feat = np.zeros((H, W, C), np.float32)
+        feat[6, 8] = np.arange(1, C + 1)  # principal-point pixel
+        vol, valid = backproject_view(
+            jnp.asarray(proj), jnp.asarray(feat), (8, 8, 8), 0.25,
+            jnp.array([-1.0, -1.0, 0.1]))
+        vol = np.asarray(vol)
+        valid = np.asarray(valid)
+        # voxels on the optical axis (x=y=0 world, i.e. index 4,4) should get
+        # the principal pixel's feature
+        np.testing.assert_allclose(vol[4, 4, 2], np.arange(1, C + 1))
+        assert valid[4, 4, 2]
+        # voxels behind the camera are invalid
+        assert valid.sum() > 0
+
+    def test_accumulate_mean_two_views(self):
+        H, W, C = 12, 16, 2
+        proj = simple_projection()
+        f1 = np.full((H, W, C), 2.0, np.float32)
+        f2 = np.full((H, W, C), 4.0, np.float32)
+        projections = jnp.asarray(np.stack([proj, proj]))
+        feats = jnp.asarray(np.stack([f1, f2]))
+        vol, valid = accumulate_views(
+            projections, feats, jnp.array([True, True]), (8, 8, 8), 0.25,
+            jnp.array([-1.0, -1.0, 0.1]))
+        vol = np.asarray(vol)
+        valid = np.asarray(valid)
+        assert valid.any()
+        np.testing.assert_allclose(vol[np.asarray(valid)], 3.0, atol=1e-5)
+
+    def test_padded_view_ignored(self):
+        H, W, C = 12, 16, 2
+        proj = simple_projection()
+        f1 = np.full((H, W, C), 2.0, np.float32)
+        f2 = np.full((H, W, C), 100.0, np.float32)
+        vol, _ = accumulate_views(
+            jnp.asarray(np.stack([proj, proj])),
+            jnp.asarray(np.stack([f1, f2])),
+            jnp.array([True, False]), (8, 8, 8), 0.25,
+            jnp.array([-1.0, -1.0, 0.1]))
+        assert np.asarray(vol).max() <= 2.0 + 1e-5
+
+
+class TestRayMarching:
+    def test_ray_parameters(self):
+        proj = jnp.asarray(simple_projection())
+        o, d = get_ray_parameters(proj, 12, 16)
+        np.testing.assert_allclose(np.asarray(o), 0.0, atol=1e-5)
+        # center pixel ray points along +z
+        center = np.asarray(d).reshape(12, 16, 3)[6, 8]
+        np.testing.assert_allclose(center, [0, 0, 1], atol=1e-5)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(d), axis=1), 1.0, atol=1e-5)
+
+    def test_neus_weights_peak_at_surface(self):
+        # along a ray: observed empty (negative) -> behind surface (positive)
+        # (Atlas sign convention, dist = pz - depth); sharp crossing at
+        # samples 9..11 like a real 3-voxel truncation band
+        t = np.ones((1, 20), np.float32)
+        t[0, :9] = -1.0
+        t[0, 9:12] = [-0.6, 0.0, 0.6]
+        w = np.asarray(neus_weights(jnp.asarray(t)))[0]
+        assert w.argmax() in (8, 9, 10, 11)
+        assert w.max() > 0.05
+        assert w[:5].max() < 1e-6
+
+    def test_neus_weights_match_reference_cumprod(self):
+        # cumsum-of-logs formulation == direct cumprod formulation
+        rng = np.random.RandomState(0)
+        t = np.cumsum(rng.rand(4, 30).astype(np.float32) * 0.3,
+                      axis=1) - 2.0
+        w = np.asarray(neus_weights(jnp.asarray(t)))
+        sig = 1 / (1 + np.exp(t))
+        sig_next = np.concatenate([sig[:, 1:], sig[:, -1:]], axis=1)
+        alpha = np.clip((sig - sig_next) / sig, 0, None)
+        T = np.cumprod(1 - alpha, axis=1)
+        T = np.concatenate([np.ones((4, 1), np.float32), T[:, :-1]], axis=1)
+        np.testing.assert_allclose(w, T * alpha, atol=1e-5)
+
+    def test_ray_march_neus_wall(self):
+        # wall at z=1.0 in a 16^3 volume of 0.125m voxels; camera looks down
+        # +z, so tsdf goes negative (empty) -> positive (behind wall)
+        n, vs = 16, 0.125
+        z = (np.arange(n) * vs)
+        tsdf = np.broadcast_to(
+            np.clip((z - 1.0) / (3 * vs), -1, 1)[None, None, :],
+            (n, n, n)).copy()
+        origin = jnp.array([-1.0, -0.75, 0.0])
+        proj = jnp.asarray(simple_projection())
+        pts = ray_march_neus(proj, jnp.asarray(tsdf, jnp.float32),
+                             (n, n, n), vs, origin, 12, 16,
+                             view_index=3, n_samples=64,
+                             weight_threshold=0.05, capacity=2048)
+        w = np.asarray(pts.weight)
+        xyz = np.asarray(pts.xyz)
+        assert (w > 0).sum() > 50
+        # kept samples concentrate near the wall depth z=1.0
+        kept_z = xyz[w > 0][:, 2]
+        assert np.abs(np.median(kept_z) - 1.0) < 0.3
+        assert (np.asarray(pts.view)[w > 0] == 3).all()
+
+    def test_ray_march_depth_wall(self):
+        n, vs = 16, 0.125
+        z = (np.arange(n) * vs)
+        tsdf = np.broadcast_to(
+            np.clip((z - 1.0) / (3 * vs), -1, 1)[None, None, :],
+            (n, n, n)).copy()
+        origin = jnp.array([-1.0, -0.75, 0.0])
+        proj = jnp.asarray(simple_projection())
+        pts = ray_march_depth(proj, jnp.asarray(tsdf, jnp.float32),
+                              (n, n, n), vs, origin, 12, 16,
+                              view_index=0, n_samples=64, depth_points=2,
+                              capacity=4096)
+        w = np.asarray(pts.weight)
+        assert (w > 0).sum() > 50
+        kept_z = np.asarray(pts.xyz)[w > 0][:, 2]
+        assert np.abs(np.median(kept_z) - 1.0) < 0.3
+        # linear weight ramp: max weight 1, min 0.5
+        assert w.max() <= 1.0 + 1e-6
+        assert np.isclose(w[w > 0].min(), 0.5, atol=1e-6)
+
+
+class TestIoU3D:
+    def test_identical(self):
+        b = jnp.array([[0, 0, 0, 2, 2, 2, 0.0]])
+        np.testing.assert_allclose(np.asarray(aligned_iou_3d(b, b)), 1.0,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(rotated_iou_3d(b, b)), 1.0,
+                                   atol=1e-5)
+
+    def test_half_overlap(self):
+        b1 = jnp.array([[0, 0, 0, 2, 2, 2, 0.0]])
+        b2 = jnp.array([[1, 0, 0, 2, 2, 2, 0.0]])
+        expect = 4.0 / 12.0
+        np.testing.assert_allclose(np.asarray(aligned_iou_3d(b1, b2)),
+                                   expect, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(rotated_iou_3d(b1, b2)),
+                                   expect, atol=1e-5)
+
+    def test_rotated_square_45deg(self):
+        # unit square vs itself rotated 45deg: intersection is a regular
+        # octagon with area 2*(sqrt(2)-1)
+        b1 = jnp.array([[0, 0, 0, 1, 1, 1, 0.0]])
+        b2 = jnp.array([[0, 0, 0, 1, 1, 1, np.pi / 4]])
+        inter = 2 * (np.sqrt(2) - 1)
+        iou = inter / (2 - inter)
+        np.testing.assert_allclose(np.asarray(rotated_iou_3d(b1, b2)), iou,
+                                   atol=1e-4)
+
+    def test_matrix_matches_elementwise(self):
+        rng = np.random.RandomState(0)
+        b = rng.rand(5, 7).astype(np.float32)
+        b[:, 3:6] += 0.5
+        m = np.asarray(iou_3d_matrix(jnp.asarray(b), jnp.asarray(b),
+                                     rotated=True))
+        np.testing.assert_allclose(np.diag(m), 1.0, atol=1e-4)
+
+    def test_disjoint(self):
+        b1 = jnp.array([[0, 0, 0, 1, 1, 1, 0.3]])
+        b2 = jnp.array([[5, 5, 5, 1, 1, 1, 0.9]])
+        np.testing.assert_allclose(np.asarray(rotated_iou_3d(b1, b2)), 0.0,
+                                   atol=1e-6)
+
+    def test_iou_loss_grad(self):
+        def loss(p):
+            return rotated_iou_3d(p, jnp.array([[0, 0, 0, 1, 1, 1, 0.0]])).sum()
+        g = jax.grad(loss)(jnp.array([[0.2, 0.1, 0., 1., 1., 1., 0.1]]))
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).sum() > 0
+
+
+class TestNMS:
+    def test_suppression(self):
+        boxes = jnp.array([
+            [0, 0, 0, 2, 2, 2, 0.0],
+            [0.1, 0, 0, 2, 2, 2, 0.0],   # heavy overlap with box 0
+            [5, 5, 0, 2, 2, 2, 0.0],     # far away
+        ])
+        scores = jnp.array([0.9, 0.8, 0.7])
+        keep = np.asarray(nms_bev(boxes, scores, 0.5, rotated=False))
+        np.testing.assert_array_equal(keep, [True, False, True])
+
+    def test_rotated_not_suppressed_when_thin(self):
+        boxes = jnp.array([
+            [0, 0, 0, 4, 0.5, 1, 0.0],
+            [0, 0, 0, 4, 0.5, 1, np.pi / 2],  # crossed thin boxes, low IoU
+        ])
+        scores = jnp.array([0.9, 0.8])
+        keep = np.asarray(nms_bev(boxes, scores, 0.5, rotated=True))
+        np.testing.assert_array_equal(keep, [True, True])
+
+    def test_multiclass_np(self):
+        boxes = np.array([[0, 0, 0, 2, 2, 2],
+                          [0.05, 0, 0, 2, 2, 2],
+                          [5, 5, 0, 2, 2, 2]], np.float32)
+        scores = np.zeros((3, 4), np.float32)
+        scores[:, 1] = [0.9, 0.85, 0.5]
+        b, s, l = multiclass_nms_np(boxes, scores)
+        assert len(b) == 2
+        assert (l == 1).all()
+        # bottom-z convention on output
+        np.testing.assert_allclose(b[:, 2], -1.0)
+
+
+class TestLosses:
+    def test_focal_loss_basics(self):
+        logits = jnp.array([[10.0, -10.0], [-10.0, 10.0]])
+        labels = jnp.array([0, 1])
+        valid = jnp.array([True, True])
+        l = sigmoid_focal_loss(logits, labels, valid, jnp.float32(2.0))
+        assert float(l) < 1e-3
+
+    def test_focal_loss_background(self):
+        logits = jnp.array([[-10.0, -10.0]])
+        labels = jnp.array([-1])
+        l = sigmoid_focal_loss(logits, labels, jnp.array([True]),
+                               jnp.float32(1.0))
+        assert float(l) < 1e-3
+
+    def test_focal_invalid_masked(self):
+        logits = jnp.array([[100.0, 100.0]])
+        labels = jnp.array([-1])
+        l = sigmoid_focal_loss(logits, labels, jnp.array([False]),
+                               jnp.float32(1.0))
+        assert float(l) == 0.0
+
+    def test_bce(self):
+        l = bce_loss(jnp.array([100.0]), jnp.array([1.0]),
+                     jnp.array([True]), jnp.float32(1.0))
+        assert float(l) < 1e-3
+
+    def test_log_transform(self):
+        x = jnp.array([-2.0, 0.0, 2.0])
+        out = np.asarray(log_transform(x))
+        np.testing.assert_allclose(out, [-np.log(3), 0, np.log(3)],
+                                   atol=1e-4)  # XLA CPU log1p tolerance
