@@ -1,0 +1,279 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cnrma_tpu.ops.voxelize import (
+    SENTINEL_KEY, VoxelGrid, lookup, sort_by_key, unique_sorted)
+from cnrma_tpu.ops.sparse import (
+    SparseTensor, add_into, apply_sparse_conv, downsample_coords,
+    generative_transpose_conv, interpolate_at, kernel_map, kernel_offsets,
+    max_pool, prune_topk, strided_conv, subm_conv, voxelize_points)
+
+GRID = VoxelGrid()
+
+
+def dense_from_sparse(st, dim):
+    """Scatter a SparseTensor into a dense [X,Y,Z,C] array (numpy)."""
+    out = np.zeros(tuple(dim) + (st.feats.shape[-1],), np.float32)
+    coords = np.asarray(st.coords)
+    feats = np.asarray(st.feats)
+    valid = np.asarray(st.valid)
+    for i in range(len(coords)):
+        if valid[i]:
+            x, y, z = coords[i]
+            out[x, y, z] = feats[i]
+    return out
+
+
+def make_sparse(coords, feats, capacity=None, stride=1):
+    coords = np.asarray(coords, np.int32)
+    feats = np.asarray(feats, np.float32)
+    n = len(coords)
+    capacity = capacity or n
+    keys = GRID.pack(jnp.asarray(coords))
+    pad = capacity - n
+    keys = jnp.concatenate(
+        [keys, jnp.full((pad,), SENTINEL_KEY, jnp.int32)])
+    coords_p = np.concatenate(
+        [coords, np.zeros((pad, 3), np.int32)])
+    feats_p = np.concatenate(
+        [feats, np.zeros((pad, feats.shape[1]), np.float32)])
+    ks, cs, fs = sort_by_key(keys, jnp.asarray(coords_p),
+                             jnp.asarray(feats_p))
+    return SparseTensor(keys=ks, coords=cs, feats=fs, stride=stride,
+                        grid=GRID)
+
+
+class TestVoxelGrid:
+    def test_pack_unpack_roundtrip(self):
+        coords = jnp.array([[0, 0, 0], [5, -3, 2], [-100, 200, 50]],
+                           jnp.int32)
+        keys = GRID.pack(coords)
+        assert (keys != SENTINEL_KEY).all()
+        np.testing.assert_array_equal(np.asarray(GRID.unpack(keys)),
+                                      np.asarray(coords))
+
+    def test_oob_is_sentinel(self):
+        coords = jnp.array([[5000, 0, 0], [0, 0, 500]], jnp.int32)
+        keys = GRID.pack(coords)
+        np.testing.assert_array_equal(np.asarray(keys),
+                                      [SENTINEL_KEY, SENTINEL_KEY])
+
+    def test_key_order_matches_lexicographic(self):
+        rng = np.random.RandomState(0)
+        coords = rng.randint(-50, 50, (100, 3)).astype(np.int32)
+        keys = np.asarray(GRID.pack(jnp.asarray(coords)))
+        order_keys = np.argsort(keys, kind="stable")
+        order_lex = np.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))
+        np.testing.assert_array_equal(coords[order_keys],
+                                      coords[order_lex])
+
+
+class TestUnique:
+    def test_unique_and_runs(self):
+        keys = jnp.array([3, 3, 5, 7, 7, 7, SENTINEL_KEY], jnp.int32)
+        out, run_id, n = unique_sorted(keys, capacity=5)
+        np.testing.assert_array_equal(
+            np.asarray(out), [3, 5, 7, SENTINEL_KEY, SENTINEL_KEY])
+        np.testing.assert_array_equal(np.asarray(run_id),
+                                      [0, 0, 1, 2, 2, 2, 5])
+        assert int(n) == 3
+
+    def test_capacity_overflow_drops(self):
+        keys = jnp.array([1, 2, 3, 4], jnp.int32)
+        out, run_id, n = unique_sorted(keys, capacity=2)
+        np.testing.assert_array_equal(np.asarray(out), [1, 2])
+        assert int(n) == 4
+
+
+class TestVoxelize:
+    def test_mean_dedup(self):
+        pts = jnp.array([[0.005, 0.005, 0.005],
+                         [0.009, 0.001, 0.002],   # same 1cm voxel
+                         [0.025, 0.005, 0.005]])  # different voxel
+        feats = jnp.array([[1.0], [3.0], [10.0]])
+        st = voxelize_points(pts, feats, jnp.array([True] * 3), 0.01,
+                             capacity=8)
+        valid = np.asarray(st.valid)
+        assert valid.sum() == 2
+        f = np.asarray(st.feats)[valid].ravel()
+        np.testing.assert_allclose(sorted(f), [2.0, 10.0])
+
+    def test_invalid_points_dropped(self):
+        pts = jnp.array([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0]])
+        feats = jnp.ones((2, 4))
+        st = voxelize_points(pts, feats, jnp.array([True, False]), 0.01,
+                             capacity=4)
+        assert int(st.num_valid()) == 1
+
+    def test_negative_coords(self):
+        pts = jnp.array([[-0.015, -0.025, 0.005]])
+        st = voxelize_points(pts, jnp.ones((1, 1)), jnp.array([True]),
+                             0.01, capacity=2)
+        coords = np.asarray(st.coords)[np.asarray(st.valid)]
+        np.testing.assert_array_equal(coords[0], [-2, -3, 0])  # floor
+
+
+class TestSubmConv:
+    @pytest.mark.parametrize("n_ch", [(3, 5)])
+    def test_matches_dense_conv_full_grid(self, n_ch):
+        """Sparse submanifold conv on a fully-active grid == dense conv."""
+        cin, cout = n_ch
+        dim = (5, 6, 4)
+        rng = np.random.RandomState(1)
+        coords = np.argwhere(np.ones(dim))
+        feats = rng.randn(len(coords), cin).astype(np.float32)
+        st = make_sparse(coords, feats)
+        w = rng.randn(27, cin, cout).astype(np.float32) * 0.2
+        out = subm_conv(st, jnp.asarray(w))
+        dense_out = dense_from_sparse(out, dim)
+
+        dense_in = dense_from_sparse(st, dim)
+        # dense conv: weight [K,Cin,Cout] with x-fastest offsets -> HWIO
+        offs = kernel_offsets(3)
+        wk = np.zeros((3, 3, 3, cin, cout), np.float32)
+        for k, (ox, oy, oz) in enumerate(offs):
+            # out[p] += W[k] @ in[p + off]; XLA conv is cross-correlation
+            # (out[p] = sum_t wk[t] in[p + t - 1]) => tap index = off + 1
+            wk[1 + ox, 1 + oy, 1 + oz] += w[k]
+        ref = jax.lax.conv_general_dilated(
+            dense_in[None], jnp.asarray(wk), (1, 1, 1), "SAME",
+            dimension_numbers=("NXYZC", "XYZIO", "NXYZC"))[0]
+        np.testing.assert_allclose(dense_out, np.asarray(ref), atol=1e-4)
+
+    def test_partial_grid_neighbors_only(self):
+        # two isolated voxels: center tap only
+        coords = [[0, 0, 0], [10, 10, 10]]
+        feats = np.array([[1.0], [2.0]], np.float32)
+        st = make_sparse(coords, feats)
+        w = np.zeros((27, 1, 1), np.float32)
+        offs = kernel_offsets(3)
+        center = int(np.argwhere((offs == 0).all(1))[0, 0])
+        w[center, 0, 0] = 5.0
+        w[0, 0, 0] = 100.0  # corner tap — no neighbor there
+        out = subm_conv(st, jnp.asarray(w))
+        vals = np.sort(np.asarray(out.feats)[np.asarray(out.valid)].ravel())
+        np.testing.assert_allclose(vals, [5.0, 10.0])
+
+    def test_kernel_map_reuse(self):
+        coords = [[0, 0, 0], [1, 0, 0], [0, 1, 0]]
+        st = make_sparse(coords, np.ones((3, 2), np.float32))
+        offs = kernel_offsets(3)
+        kmap = kernel_map(st, offs)
+        w = np.random.RandomState(0).randn(27, 2, 2).astype(np.float32)
+        out1 = subm_conv(st, jnp.asarray(w), kmap=kmap)
+        out2 = subm_conv(st, jnp.asarray(w))
+        np.testing.assert_allclose(np.asarray(out1.feats),
+                                   np.asarray(out2.feats), atol=1e-6)
+
+
+class TestStridedOps:
+    def test_downsample_coords(self):
+        coords = [[0, 0, 0], [1, 1, 1], [2, 0, 0], [5, 5, 5]]
+        st = make_sparse(coords, np.ones((4, 1), np.float32))
+        keys, dcoords, _ = downsample_coords(st, 2, capacity=4)
+        got = np.asarray(dcoords)[np.asarray(keys) != SENTINEL_KEY]
+        expect = {(0, 0, 0), (2, 0, 0), (4, 4, 4)}
+        assert {tuple(c) for c in got} == expect
+
+    def test_strided_conv_stride_semantics(self):
+        # single input voxel at (1,1,1): output coord (0,0,0) with offset
+        # (+1,+1,+1) reaching it
+        st = make_sparse([[1, 1, 1]], np.array([[2.0]], np.float32))
+        w = np.zeros((27, 1, 1), np.float32)
+        offs = kernel_offsets(3)
+        k = int(np.argwhere((offs == [1, 1, 1]).all(1))[0, 0])
+        w[k, 0, 0] = 3.0
+        out = strided_conv(st, jnp.asarray(w), 2, capacity=2)
+        assert out.stride == 2
+        valid = np.asarray(out.valid)
+        assert valid.sum() == 1
+        np.testing.assert_array_equal(
+            np.asarray(out.coords)[valid][0], [0, 0, 0])
+        np.testing.assert_allclose(
+            np.asarray(out.feats)[valid][0], [6.0])
+
+    def test_max_pool(self):
+        coords = [[0, 0, 0], [1, 1, 1], [2, 2, 2]]
+        feats = np.array([[1.0], [7.0], [3.0]], np.float32)
+        st = make_sparse(coords, feats)
+        out = max_pool(st, 2, capacity=4)
+        valid = np.asarray(out.valid)
+        got = {(tuple(c), float(f)) for c, f in
+               zip(np.asarray(out.coords)[valid],
+                   np.asarray(out.feats)[valid].ravel())}
+        assert ((0, 0, 0), 7.0) in got
+        assert ((2, 2, 2), 3.0) in got
+
+    def test_generative_transpose(self):
+        st = make_sparse([[0, 0, 0], [2, 2, 2]],
+                         np.array([[1.0], [2.0]], np.float32), stride=2)
+        w = np.arange(8, dtype=np.float32).reshape(8, 1, 1) + 1
+        out = generative_transpose_conv(st, jnp.asarray(w))
+        assert out.stride == 1
+        valid = np.asarray(out.valid)
+        assert valid.sum() == 16
+        coords = np.asarray(out.coords)[valid]
+        # children of (0,0,0) are {0,1}^3; of (2,2,2) are {2,3}^3
+        assert {tuple(c) for c in coords} == \
+            {(x, y, z) for x in (0, 1) for y in (0, 1) for z in (0, 1)} | \
+            {(x, y, z) for x in (2, 3) for y in (2, 3) for z in (2, 3)}
+
+    def test_add_into(self):
+        children = make_sparse(
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]],
+            np.ones((4, 1), np.float32))
+        skip = make_sparse([[1, 0, 0]], np.array([[10.0]], np.float32))
+        out = add_into(children, skip)
+        m = {tuple(c): float(f) for c, f in
+             zip(np.asarray(out.coords), np.asarray(out.feats).ravel())}
+        assert m[(1, 0, 0)] == 11.0
+        assert m[(0, 0, 0)] == 1.0
+
+
+class TestPruneInterp:
+    def test_prune_topk(self):
+        coords = [[i, 0, 0] for i in range(6)]
+        st = make_sparse(coords, np.ones((6, 2), np.float32))
+        scores = jnp.array([0.1, 0.9, 0.3, 0.8, 0.2, 0.7])
+        out = prune_topk(st, scores, keep=3)
+        valid = np.asarray(out.valid)
+        assert valid.sum() == 3
+        kept_x = sorted(np.asarray(out.coords)[valid][:, 0].tolist())
+        assert kept_x == [1, 3, 5]
+
+    def test_interpolate_at_exact_and_mid(self):
+        st = make_sparse([[0, 0, 0], [2, 0, 0]],
+                         np.array([[1.0], [3.0]], np.float32), stride=2)
+        pos = jnp.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0],
+                         [2.0, 0.0, 0.0]])
+        out = np.asarray(interpolate_at(st, pos, jnp.array([True] * 3)))
+        np.testing.assert_allclose(out.ravel(), [1.0, 2.0, 3.0], atol=1e-5)
+
+    def test_interpolate_missing_is_zero_weighted(self):
+        st = make_sparse([[0, 0, 0]], np.array([[4.0]], np.float32),
+                         stride=2)
+        out = np.asarray(interpolate_at(
+            st, jnp.array([[1.0, 0.0, 0.0]]), jnp.array([True])))
+        # halfway to a missing neighbor: only 0.5 weight on the present one
+        np.testing.assert_allclose(out.ravel(), [2.0], atol=1e-5)
+
+
+class TestVmap:
+    def test_vmap_over_scenes(self):
+        rng = np.random.RandomState(0)
+        pts = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32))
+        feats = jnp.asarray(rng.rand(2, 64, 4).astype(np.float32))
+        valid = jnp.ones((2, 64), bool)
+
+        def per_scene(p, f, v):
+            st = voxelize_points(p, f, v, 0.1, capacity=128)
+            w = jnp.asarray(
+                rng.randn(27, 4, 8).astype(np.float32) * 0.1)
+            out = subm_conv(st, w)
+            return out.feats.sum()
+
+        vals = jax.vmap(per_scene)(pts, feats, valid)
+        assert vals.shape == (2,)
+        assert np.isfinite(np.asarray(vals)).all()
