@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""End-of-round benchmark: full CN-RMA test-mode inference throughput.
+
+Runs the flagship CNRMA pipeline (2D tower -> volume -> 3D U-Net -> TSDF ->
+NeuS ray marching -> sparse FCAF3D detection -> per-scale top-k boxes) on a
+synthetic ScanNet-shaped scene on the available accelerator and reports
+scenes/sec/chip.
+
+The reference publishes NO throughput numbers (SURVEY.md §6).  For
+``vs_baseline`` we use an estimated reference rate of 0.125 scenes/sec per
+GPU (0.5 scenes/sec aggregate on the 4-GPU rig — a charitable estimate for
+a pipeline that runs 50 R50 views, a 6.3M-voxel 3D U-Net, 5.76M ray samples
+x 50 views and a MinkowskiEngine ResNet34 per scene); the value is the
+ratio of our per-chip rate to that per-GPU rate.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+EST_REFERENCE_SCENES_PER_SEC_PER_GPU = 0.125
+
+
+def build_bench(scale: str):
+    import jax.numpy as jnp
+    from cnrma_tpu.models.cn_rma import CNRMA
+    from cnrma_tpu.models.fcaf3d import DetectionCapacities
+
+    if scale == "full":
+        # the reference's ScanNet test setting (256x256x96 @ 4cm, 50 views)
+        dims = dict(voxel_dim=(256, 256, 96), views=50, h=480, w=640,
+                    rays_cap=16384, max_points=262144, ray_samples=300,
+                    caps=DetectionCapacities(
+                        voxelize=262144, stride2=196608, stride4=131072,
+                        levels=(32768, 12288, 4096, 2048),
+                        neck=(196608, 65536, 16384)))
+    elif scale == "medium":
+        dims = dict(voxel_dim=(192, 192, 80), views=40, h=480, w=640,
+                    rays_cap=8192, max_points=131072, ray_samples=300,
+                    caps=DetectionCapacities(
+                        voxelize=131072, stride2=98304, stride4=65536,
+                        levels=(16384, 8192, 4096, 2048),
+                        neck=(98304, 32768, 16384)))
+    else:
+        dims = dict(voxel_dim=(96, 96, 48), views=10, h=240, w=320,
+                    rays_cap=4096, max_points=32768, ray_samples=150,
+                    caps=DetectionCapacities(
+                        voxelize=32768, stride2=24576, stride4=16384,
+                        levels=(8192, 4096, 2048, 1024),
+                        neck=(24576, 16384, 8192)))
+
+    model = CNRMA(
+        voxel_dim=dims["voxel_dim"], voxel_size=0.04, n_classes=18,
+        ray_samples=dims["ray_samples"],
+        rays_per_view_cap=dims["rays_cap"],
+        max_points=dims["max_points"], capacities=dims["caps"],
+        compute_dtype=jnp.bfloat16)
+
+    v, h, w = dims["views"], dims["h"], dims["w"]
+    rng = np.random.RandomState(0)
+    # synthetic scene: cameras in a ring looking at the volume center
+    X, Y, Z = dims["voxel_dim"]
+    center = np.array([X, Y, Z]) * 0.04 / 2
+    intr = np.array([[580.0 * w / 640, 0, w / 2],
+                     [0, 580.0 * h / 480, h / 2], [0, 0, 1]], np.float32)
+    projs = []
+    for i in range(v):
+        a = 2 * np.pi * i / v
+        eye = center + np.array([3.0 * np.cos(a), 3.0 * np.sin(a), 0.5])
+        fwd = center - eye
+        fwd = fwd / np.linalg.norm(fwd)
+        right = np.cross(fwd, [0, 0, 1.0])
+        right /= np.linalg.norm(right)
+        up = np.cross(right, fwd)
+        E = np.eye(4, dtype=np.float32)       # camera-to-world
+        E[:3, 0], E[:3, 1], E[:3, 2], E[:3, 3] = right, -up, fwd, eye
+        projs.append(intr @ np.linalg.inv(E)[:3])
+    batch = {
+        "imgs": rng.rand(1, v, h, w, 3).astype(np.float32) * 255,
+        "projection": np.stack(projs)[None].astype(np.float32),
+        "view_valid": np.ones((1, v), bool),
+        "offset": np.zeros((1, 3), np.float32),
+    }
+    return model, batch
+
+
+def run(scale: str):
+    import jax
+    import jax.numpy as jnp
+
+    model, batch = build_bench(scale)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "sample": rng}, batch,
+                           train=False)
+
+    @jax.jit
+    def forward(variables, batch):
+        out = model.apply(variables, batch, train=False,
+                          rngs={"sample": jax.random.PRNGKey(0)})
+        return out["bboxes"], out["scores"], out["tsdf"]["scene_tsdf_004"]
+
+    # warmup / compile
+    r = forward(variables, batch)
+    jax.block_until_ready(r)
+    n_iter = 3
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        r = forward(variables, batch)
+    jax.block_until_ready(r)
+    dt = (time.perf_counter() - t0) / n_iter
+    return 1.0 / dt
+
+
+def main():
+    value = None
+    for scale in ("full", "medium", "small"):
+        try:
+            value = run(scale)
+            break
+        except Exception as e:
+            print(f"bench scale={scale} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    if value is None:
+        print(json.dumps({"metric": "scannet_test_scenes_per_sec_per_chip",
+                          "value": 0.0, "unit": "scenes/sec",
+                          "vs_baseline": 0.0}))
+        return
+    print(json.dumps({
+        "metric": f"scannet_test_scenes_per_sec_per_chip({scale})",
+        "value": round(value, 4),
+        "unit": "scenes/sec",
+        "vs_baseline": round(
+            value / EST_REFERENCE_SCENES_PER_SEC_PER_GPU, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

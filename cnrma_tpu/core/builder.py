@@ -1,0 +1,97 @@
+"""Build models / datasets from reference-style config dicts.
+
+Keeps the reference's config surface (``ray_marching_scannet.py`` model
+dict: nested backbone2d / feature_2d / backbone_3d / tsdf_head /
+detection_backbone / detection_head blocks with the same knob names) while
+constructing our flax modules.  Unknown nested structure is tolerated —
+only the knobs that parameterize the TPU model are read.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Optional
+
+from cnrma_tpu.core.registry import DATASETS, build_from_cfg
+from cnrma_tpu.models.cn_rma import CNRMA, Atlas
+from cnrma_tpu.models.fcaf3d import DetectionCapacities
+
+
+def build_model(cfg, mode: str = "train"):
+    """cfg: full Config (or dict with a ``model`` key).  mode selects the
+    train/test voxel grid (``voxel_dim_train`` vs ``voxel_dim_test``,
+    reference ``ray_marching.py:412,459``)."""
+    m = cfg["model"] if "model" in cfg.keys() else cfg
+    model_type = m.get("type", "RayMarching")
+    voxel_dim = tuple(m["voxel_dim_train"] if mode == "train"
+                      else m["voxel_dim_test"])
+
+    common = dict(
+        voxel_dim=voxel_dim,
+        voxel_size=m.get("voxel_size", 0.04),
+        n_scales=m.get("n_scales", 3),
+        origin=tuple(m.get("origin", (0, 0, 0))),
+        pixel_mean=tuple(m.get("pixel_mean", (103.53, 116.28, 123.675))),
+        pixel_std=tuple(m.get("pixel_std", (1.0, 1.0, 1.0))),
+        backbone2d_stride=m.get("backbone2d_stride", 4),
+        feature_dim=m.get("feature_2d", {}).get("output_dim", 32),
+        use_batchnorm_train=m.get("use_batchnorm_train", True),
+        use_batchnorm_test=m.get("use_batchnorm_test", False),
+        loss_weight_recon=m.get("loss_weight_recon", 1.0),
+    )
+
+    if model_type == "Atlas":
+        return Atlas(**common)
+    if model_type != "RayMarching":
+        raise ValueError(f"unknown model type {model_type!r}")
+
+    head = m.get("detection_head", {})
+    assigner = head.get("assigner", {})
+    test_cfg = head.get("test_cfg", {}) or {}
+    loss_bbox = head.get("loss_bbox", {}) or {}
+    caps_cfg = m.get("capacities")
+    caps = (DetectionCapacities(
+        voxelize=caps_cfg["voxelize"], stride2=caps_cfg["stride2"],
+        stride4=caps_cfg["stride4"], levels=tuple(caps_cfg["levels"]),
+        neck=tuple(caps_cfg["neck"]))
+        if caps_cfg else DetectionCapacities())
+
+    return CNRMA(
+        **common,
+        ray_marching_type=m.get("ray_marching_type", "neus"),
+        neus_threshold=m.get("neus_threshold") or 0.05,
+        depth_points=m.get("depth_points") or 2,
+        ray_samples=m.get("ray_samples", 300),
+        rays_per_view_cap=m.get("rays_per_view_cap", 32768),
+        max_points=m.get("max_points", 500000),
+        n_classes=head.get("n_classes", 18),
+        n_reg_outs=head.get("n_reg_outs", 6),
+        with_yaw=bool(loss_bbox.get("with_yaw", False)),
+        voxel_size_fcaf3d=m.get("voxel_size_fcaf3d", 0.01),
+        pts_threshold=head.get("pts_threshold", 200000),
+        assigner_limit=assigner.get("limit", 27),
+        assigner_topk=assigner.get("topk", 18),
+        nms_pre=test_cfg.get("nms_pre", 1000),
+        capacities=caps,
+        loss_weight_detection=m.get("loss_weight_detection", 1.0),
+        use_feature_transform=m.get("use_feature_transform", True),
+        feature_transform=dict(m.get("feature_transform") or {}),
+    )
+
+
+def build_dataset(cfg, data_key: str = "train", **overrides):
+    """cfg.data.{train,val,test} dict -> dataset instance."""
+    d = dict(cfg["data"][data_key])
+    d.pop("pipeline", None)
+    # derive grid / mode from the pipeline-free config surface
+    if "voxel_dim" not in d:
+        m = cfg.get("model", {})
+        key = ("voxel_dim_test" if data_key in ("val", "test")
+               else "voxel_dim_train")
+        if key in m:
+            d["voxel_dim"] = tuple(m[key])
+    d.setdefault("space_mode",
+                 overrides.pop("space_mode",
+                               "origin" if data_key in ("val", "test")
+                               else "middle"))
+    d.update(overrides)
+    return build_from_cfg(d, DATASETS)

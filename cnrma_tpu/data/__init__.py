@@ -1,0 +1,3 @@
+from cnrma_tpu.data.scannet import ScanNetDataset
+from cnrma_tpu.data.arkit import ARKitDataset
+from cnrma_tpu.data.loader import SceneLoader, collate_scenes

@@ -1,0 +1,361 @@
+"""CN-RMA combined model: 2D tower -> volume -> TSDF -> ray marching ->
+sparse detection, plus the recon-only Atlas model.
+
+Re-implements the reference top-level detectors
+(``models/ray_marching.py:RayMarching`` and ``models/atlas.py:Atlas``) as a
+single jittable flax module:
+
+* ``forward_train`` (:409-451): joint 2D backbone over all views, per-view
+  volume accumulation, 3D U-Net + TSDF head, NeuS ray marching into a point
+  cloud, point augmentation + subsample, FCAF3D loss;
+  total = w_recon * recon + w_det * det.
+* ``forward_test`` (:456-521): same pipeline on the test grid; emits the
+  fine TSDF and raw per-scale top-k boxes (saved host-side in the
+  reference's ``{scene}_bbox_raw.npz`` format by ``train/eval.py``).
+
+Static-shape redesign of the dynamic parts:
+* views are a padded axis processed by ``lax.scan``/``lax.map``;
+* per-view ray-march compaction is fixed-capacity (``rays_per_view_cap``);
+* the global 500k subsample is a sort by (invalid, random) — an exact
+  without-replacement sample of valid points (reference
+  ``sample_points``, ``fcaf3d_transforms.py:283-296``);
+* pixel features are gathered only for the surviving points.
+
+Gradient flow matches the reference: the TSDF entering ray marching is
+stop-gradient (reference wraps sampling in no_grad, :705-745), while the
+gathered 2D features stay differentiable, so the detection loss trains the
+2D tower but not the recon head through the ray-march path.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cnrma_tpu.models.fcaf3d import (
+    DetectionCapacities, FCAF3DDetector, LevelOut)
+from cnrma_tpu.models.resnet_fpn import ResNetFPN2D
+from cnrma_tpu.models.tsdf_head import TSDFHead
+from cnrma_tpu.models.unet3d import UNet3D
+from cnrma_tpu.ops.backproject import accumulate_views
+from cnrma_tpu.ops.ray_marching import (
+    RayMarchPoints, ray_march_depth, ray_march_neus)
+
+
+class RayPoints(NamedTuple):
+    """Final per-scene point cloud fed to the detector."""
+    xyz: jnp.ndarray       # [B, P, 3] world coords (offset applied)
+    feats: jnp.ndarray     # [B, P, C] weight-scaled features
+    valid: jnp.ndarray     # [B, P]
+
+
+def _rotate_boxes(boxes: jnp.ndarray, angle: jnp.ndarray,
+                  with_yaw: bool) -> jnp.ndarray:
+    """Rotate gravity-center boxes around +z.  For no-yaw boxes the xy dims
+    become the rotated enclosing box (mmdet3d Depth-box semantics used by
+    ``TransformFeaturesBBoxes``)."""
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    x = boxes[..., 0] * c - boxes[..., 1] * s
+    y = boxes[..., 0] * s + boxes[..., 1] * c
+    if with_yaw:
+        dims = boxes[..., 3:6]
+        yaw = boxes[..., 6] + angle
+    else:
+        w = (jnp.abs(boxes[..., 3] * c) + jnp.abs(boxes[..., 4] * s))
+        l = (jnp.abs(boxes[..., 3] * s) + jnp.abs(boxes[..., 4] * c))
+        dims = jnp.stack([w, l, boxes[..., 5]], axis=-1)
+        yaw = boxes[..., 6]
+    return jnp.concatenate(
+        [jnp.stack([x, y, boxes[..., 2]], -1), dims, yaw[..., None]],
+        axis=-1)
+
+
+def feature_transform_aug(rng: jax.Array, points: jnp.ndarray,
+                          boxes: jnp.ndarray, with_yaw: bool,
+                          flip_ratio_horizontal: float = 0.5,
+                          flip_ratio_vertical: float = 0.5,
+                          rot_range: Tuple[float, float] = (-0.087266,
+                                                            0.087266),
+                          scale_ratio_range: Tuple[float, float] = (0.9,
+                                                                    1.1),
+                          translation_std: Tuple[float, float, float] =
+                          (0.1, 0.1, 0.1)
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Train-time point/box augmentation (reference
+    ``TransformFeaturesBBoxes``, ``fcaf3d_transforms.py:14-146``): flips,
+    small z-rotation, global scale, gaussian translation — applied jointly
+    to the ray-marched points and the gt boxes, per scene."""
+    kf, kv, kr, ks, kt = jax.random.split(rng, 5)
+    pts = points
+
+    do_h = jax.random.uniform(kf) < flip_ratio_horizontal
+    pts = jnp.where(do_h, pts * jnp.array([-1.0, 1.0, 1.0]), pts)
+    bx = jnp.where(do_h, -boxes[..., 0], boxes[..., 0])
+    byaw = jnp.where(do_h & with_yaw, math.pi - boxes[..., 6],
+                     boxes[..., 6])
+    boxes = jnp.concatenate([bx[..., None], boxes[..., 1:6],
+                             byaw[..., None]], axis=-1)
+
+    do_v = jax.random.uniform(kv) < flip_ratio_vertical
+    pts = jnp.where(do_v, pts * jnp.array([1.0, -1.0, 1.0]), pts)
+    by = jnp.where(do_v, -boxes[..., 1], boxes[..., 1])
+    byaw = jnp.where(do_v & with_yaw, -boxes[..., 6], boxes[..., 6])
+    boxes = jnp.concatenate([boxes[..., :1], by[..., None],
+                             boxes[..., 2:6], byaw[..., None]], axis=-1)
+
+    angle = jax.random.uniform(kr, minval=rot_range[0],
+                               maxval=rot_range[1])
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    px = pts[..., 0] * c - pts[..., 1] * s
+    py = pts[..., 0] * s + pts[..., 1] * c
+    pts = jnp.stack([px, py, pts[..., 2]], axis=-1)
+    boxes = _rotate_boxes(boxes, angle, with_yaw)
+
+    scale = jax.random.uniform(ks, minval=scale_ratio_range[0],
+                               maxval=scale_ratio_range[1])
+    pts = pts * scale
+    boxes = jnp.concatenate([boxes[..., :6] * scale, boxes[..., 6:]],
+                            axis=-1)
+
+    trans = (jax.random.normal(kt, (3,))
+             * jnp.asarray(translation_std, jnp.float32))
+    pts = pts + trans
+    boxes = jnp.concatenate(
+        [boxes[..., :3] + trans, boxes[..., 3:]], axis=-1)
+    return pts, boxes
+
+
+class CNRMA(nn.Module):
+    """The combined detector (reference ``RayMarching``).
+
+    Batch layout: imgs [B, V, H, W, 3] raw RGB; projections [B, V, 3, 4]
+    (full-resolution intrinsics x inverse extrinsics); view_valid [B, V];
+    gt boxes padded [B, M, 7] gravity-z + masks; offset [B, 3].
+    """
+    voxel_dim: Tuple[int, int, int] = (192, 192, 80)
+    voxel_size: float = 0.04
+    n_scales: int = 3
+    origin: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    pixel_mean: Tuple[float, float, float] = (103.53, 116.28, 123.675)
+    pixel_std: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    backbone2d_stride: int = 4
+    feature_dim: int = 32
+    # ray marching
+    ray_marching_type: str = "neus"        # 'neus' | 'depth'
+    neus_threshold: float = 0.05
+    depth_points: int = 2
+    ray_samples: int = 300
+    rays_per_view_cap: int = 32768
+    max_points: int = 500000
+    # detection
+    detection: bool = True
+    n_classes: int = 18
+    n_reg_outs: int = 6
+    with_yaw: bool = False
+    voxel_size_fcaf3d: float = 0.01
+    pts_threshold: int = 200000
+    assigner_limit: int = 27
+    assigner_topk: int = 18
+    nms_pre: int = 1000
+    capacities: DetectionCapacities = DetectionCapacities()
+    # losses
+    loss_weight_recon: float = 1.0
+    loss_weight_detection: float = 1.0
+    # augmentation
+    use_feature_transform: bool = True
+    feature_transform: Optional[Dict[str, Any]] = None
+    # misc
+    use_batchnorm_train: bool = True
+    use_batchnorm_test: bool = False
+    compute_dtype: Any = jnp.float32
+
+    def setup(self):
+        self.tower2d = ResNetFPN2D(output_dim=self.feature_dim,
+                                   compute_dtype=self.compute_dtype)
+        self.backbone3d = UNet3D(remat=True)
+        self.tsdf_head = TSDFHead(voxel_size=self.voxel_size,
+                                  n_scales=self.n_scales)
+        if self.detection:
+            self.detector = FCAF3DDetector(
+                n_classes=self.n_classes, n_reg_outs=self.n_reg_outs,
+                voxel_size=self.voxel_size_fcaf3d,
+                pts_threshold=self.pts_threshold,
+                assigner_limit=self.assigner_limit,
+                assigner_topk=self.assigner_topk,
+                with_yaw=self.with_yaw, nms_pre=self.nms_pre,
+                capacities=self.capacities)
+
+    # ------------------------------------------------------------------
+    def normalize_images(self, imgs: jnp.ndarray) -> jnp.ndarray:
+        mean = jnp.asarray(self.pixel_mean, jnp.float32)
+        std = jnp.asarray(self.pixel_std, jnp.float32)
+        return (imgs - mean) / std
+
+    def extract_2d(self, imgs: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """[B, V, H, W, 3] -> [B, V, h, w, C] stride-4 features.  All views
+        share one joint batch (the reference's ``use_batchnorm_train`` path,
+        ``ray_marching.py:419-426``)."""
+        b, v = imgs.shape[:2]
+        x = self.normalize_images(imgs.reshape((b * v,) + imgs.shape[2:]))
+        feats = self.tower2d(x, train=train)
+        return feats.reshape((b, v) + feats.shape[1:])
+
+    def build_volume(self, feats: jnp.ndarray, projections: jnp.ndarray,
+                     view_valid: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Scaled-projection back-projection + mean accumulation."""
+        proj = projections.at[..., :2, :].divide(self.backbone2d_stride)
+        origin = jnp.asarray(self.origin, jnp.float32)
+        vol, valid = jax.vmap(
+            lambda p, f, v: accumulate_views(
+                p, f, v, self.voxel_dim, self.voxel_size, origin))(
+            proj, feats, view_valid)
+        return vol, valid
+
+    def reconstruct(self, volume: jnp.ndarray,
+                    targets: Optional[Dict[str, jnp.ndarray]], train: bool
+                    ) -> Tuple[Dict[str, jnp.ndarray],
+                               Dict[str, jnp.ndarray]]:
+        xs = self.backbone3d(volume, train=train)
+        return self.tsdf_head(xs, targets)
+
+    # ------------------------------------------------------------------
+    def ray_march(self, feats: jnp.ndarray, projections: jnp.ndarray,
+                  view_valid: jnp.ndarray, tsdf004: jnp.ndarray,
+                  offset: jnp.ndarray, rng: jax.Array) -> RayPoints:
+        """All-view ray marching -> weighted feature point cloud.
+
+        Mirrors ``aggregate_2d_features_ray_marching`` + ``switch_pointcloud``
+        (``ray_marching.py:260-307,339-407``): per-view NeuS/depth marching,
+        weight normalization by the global mean, random subsample to
+        ``max_points``, pixel-feature gather, weight multiply, offset add.
+        """
+        b, v, h, w, c = feats.shape
+        proj = projections.at[..., :2, :].divide(self.backbone2d_stride)
+        tsdf = jax.lax.stop_gradient(tsdf004)
+        origin = jnp.asarray(self.origin, jnp.float32)
+
+        march = (partial(ray_march_neus,
+                         weight_threshold=self.neus_threshold)
+                 if self.ray_marching_type == "neus"
+                 else partial(ray_march_depth,
+                              depth_points=self.depth_points))
+
+        def scene(proj_b, tsdf_b, valid_b, rng_b):
+            def per_view(pv):
+                p, idx = pv
+                pts = march(p, tsdf_b, self.voxel_dim, self.voxel_size,
+                            origin, h, w, view_index=idx,
+                            n_samples=self.ray_samples,
+                            capacity=self.rays_per_view_cap)
+                keep_w = jnp.where(valid_b[idx], pts.weight, 0.0)
+                return RayMarchPoints(pts.xyz, keep_w, pts.uv, pts.view)
+
+            per = jax.lax.map(per_view,
+                              (proj_b, jnp.arange(v)))        # [V, K, ...]
+            flat = jax.tree_util.tree_map(
+                lambda a: a.reshape((v * self.rays_per_view_cap,)
+                                    + a.shape[2:]), per)
+            valid = flat.weight > 0
+            # normalize weights by the mean over all collected samples
+            mean_w = (jnp.sum(flat.weight)
+                      / jnp.maximum(jnp.sum(valid.astype(jnp.float32)),
+                                    1.0))
+            weights = flat.weight / jnp.maximum(mean_w, 1e-12)
+            # random subsample of valid points to max_points
+            r = jax.random.uniform(rng_b, (v * self.rays_per_view_cap,))
+            order = jnp.argsort(jnp.where(valid, r, jnp.inf))
+            sel = order[:self.max_points]
+            return (jnp.take(flat.xyz, sel, axis=0),
+                    jnp.take(weights, sel),
+                    jnp.take(flat.uv, sel, axis=0),
+                    jnp.take(flat.view, sel),
+                    jnp.take(valid, sel))
+
+        rngs = jax.random.split(rng, b)
+        xyz, wts, uv, view, valid = jax.vmap(scene)(
+            proj, tsdf, view_valid, rngs)
+
+        # gather pixel features for surviving points only
+        def gather_feats(f_b, uv_b, view_b, valid_b):
+            vi = jnp.clip(view_b, 0, v - 1)
+            flat_idx = (vi * h + jnp.clip(uv_b[:, 1], 0, h - 1)) * w \
+                + jnp.clip(uv_b[:, 0], 0, w - 1)
+            g = jnp.take(f_b.reshape(v * h * w, c), flat_idx, axis=0)
+            return jnp.where(valid_b[:, None], g, 0.0)
+
+        pf = jax.vmap(gather_feats)(feats, uv, view, valid)
+        pf = pf * wts[..., None]
+        return RayPoints(xyz=xyz, feats=pf, valid=valid)
+
+    # ------------------------------------------------------------------
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool
+                 ) -> Dict[str, Any]:
+        """Runs the full pipeline.  Returns dict with ``losses`` plus
+        (always) ``tsdf`` outputs and, when detection is on and not
+        training, raw ``bboxes``/``scores``/``bbox_valid``."""
+        imgs = batch["imgs"]
+        projections = batch["projection"]
+        view_valid = batch.get(
+            "view_valid",
+            jnp.ones(imgs.shape[:2], bool))
+        targets = batch.get("tsdf_list")
+
+        feats = self.extract_2d(imgs, train=train)
+        volume, _ = self.build_volume(feats, projections, view_valid)
+        tsdf_out, recon_losses = self.reconstruct(volume, targets, train)
+
+        losses = {k: v * self.loss_weight_recon
+                  for k, v in recon_losses.items()}
+        out: Dict[str, Any] = {"tsdf": tsdf_out}
+
+        if not self.detection:
+            out["losses"] = losses
+            return out
+
+        rng = (self.make_rng("sample")
+               if self.has_rng("sample") else jax.random.PRNGKey(0))
+        pts = self.ray_march(feats, projections, view_valid,
+                             tsdf_out[f"scene_tsdf_{self.tsdf_head.keys[-1]}"],
+                             batch["offset"], rng)
+        # move to world/detection frame (reference switch_pointcloud:364)
+        xyz = pts.xyz + batch["offset"][:, None, :]
+
+        gt_boxes = batch.get("gt_boxes")
+        gt_labels = batch.get("gt_labels")
+        gt_valid = batch.get("gt_valid")
+        if train and self.use_feature_transform:
+            aug_rng = (self.make_rng("aug")
+                       if self.has_rng("aug") else jax.random.PRNGKey(1))
+            ft_cfg = dict(self.feature_transform or {})
+            xyz, gt_boxes = jax.vmap(
+                lambda r, p, bx: feature_transform_aug(
+                    r, p, bx, self.with_yaw, **ft_cfg))(
+                jax.random.split(aug_rng, xyz.shape[0]), xyz, gt_boxes)
+
+        level_outs = self.detector(xyz, pts.feats, pts.valid, train=train)
+        out["points"] = RayPoints(xyz=xyz, feats=pts.feats,
+                                  valid=pts.valid)
+
+        if gt_boxes is not None:
+            det_losses = self.detector.loss(level_outs, gt_boxes,
+                                            gt_labels, gt_valid)
+            for k, v in det_losses.items():
+                losses[k] = v * self.loss_weight_detection
+        if not train:
+            bboxes, scores, bvalid = self.detector.get_bboxes(level_outs)
+            out.update(bboxes=bboxes, scores=scores, bbox_valid=bvalid)
+        out["losses"] = losses
+        return out
+
+
+class Atlas(CNRMA):
+    """Recon-only model for stage-1 pretraining (reference
+    ``models/atlas.py``): identical 2D tower / volume / U-Net / TSDF head,
+    no detection branch — parameters transfer 1:1 into CNRMA."""
+    detection: bool = False

@@ -1,0 +1,443 @@
+"""FCAF3D sparse detection network: backbone, neck, anchor-free head, loss.
+
+Re-implements the reference's MinkowskiEngine-based detection half
+(``models/fcaf3d_backbone.py`` — HighDim sparse ResNet34;
+``models/fcaf3d_head.py`` — generative-transpose neck with score pruning,
+per-scale centerness/reg/cls heads, assignment + focal/BCE/IoU losses,
+per-scale topk bbox extraction) on the fixed-capacity SparseTensor stack
+(``cnrma_tpu/ops/sparse.py``).
+
+Design notes (TPU-first):
+* coordinate ops (conv kernel maps, pooling, upsampling) run per scene under
+  ``jax.vmap``; norms compute masked statistics over the whole batch like
+  ME BatchNorm over all active voxels;
+* each residual stage computes its 27-neighbor kernel map once and shares it
+  across all its convolutions (the analog of ME's kernel-map cache);
+* every tensor has a static capacity from ``DetectionCapacities``; pruning
+  keeps ``min(capacity, pts_threshold)`` points by coarse-score
+  interpolation exactly like ME ``MinkowskiPruning`` + per-scene topk.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from cnrma_tpu.models.assigner import fcaf3d_assign
+from cnrma_tpu.models.layers import MaskedBatchNorm, MaskedInstanceNorm
+from cnrma_tpu.ops import sparse as sp
+from cnrma_tpu.ops.losses import bce_loss, iou3d_loss, sigmoid_focal_loss
+
+elu = jax.nn.elu
+
+
+class DetectionCapacities(NamedTuple):
+    """Static buffer sizes along the detection path (voxel counts)."""
+    voxelize: int = 409600        # 1 cm dedup of <=500k ray-marched points
+    stride2: int = 262144
+    stride4: int = 131072
+    levels: Tuple[int, ...] = (32768, 12288, 4096, 2048)   # strides 8..64
+    neck: Tuple[int, ...] = (262144, 65536, 16384)         # strides 8,16,32
+
+    @classmethod
+    def tiny(cls) -> "DetectionCapacities":
+        return cls(voxelize=2048, stride2=1024, stride4=512,
+                   levels=(256, 128, 64, 32), neck=(512, 256, 128))
+
+
+def _conv_init(key, shape, dtype=jnp.float32):
+    """Kaiming-normal over (K x Cin) fan-in, like ME kaiming_normal_."""
+    k, cin, cout = shape
+    std = math.sqrt(2.0 / (k * cin))
+    return jax.random.normal(key, shape, dtype) * std
+
+
+class SparseConv(nn.Module):
+    """Sparse conv (+ masked BN + activation) over batched SparseTensors."""
+    features: int
+    kernel_size: int = 3
+    stride_factor: int = 1
+    capacity: Optional[int] = None       # required when stride_factor > 1
+    norm: Optional[str] = "BN"           # 'BN' | 'IN' | None
+    act: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, st: sp.SparseTensor, train: bool,
+                 kmap=None) -> sp.SparseTensor:
+        cin = st.num_channels
+        if self.kernel_size == 1 and self.stride_factor == 1:
+            w = self.param("kernel", _conv_init, (1, cin, self.features))
+            out = st.with_feats(
+                jnp.einsum("...nc,cd->...nd", st.feats, w[0],
+                           preferred_element_type=jnp.float32
+                           ).astype(st.feats.dtype))
+        else:
+            offsets = (sp.kernel_offsets(self.kernel_size)
+                       if self.kernel_size > 1
+                       else np.zeros((1, 3), np.int32))
+            w = self.param("kernel", _conv_init,
+                           (len(offsets), cin, self.features))
+            if self.stride_factor == 1:
+                if kmap is not None:
+                    out = jax.vmap(
+                        lambda s, km: sp.subm_conv(s, w, kmap=km))(st, kmap)
+                else:
+                    out = jax.vmap(
+                        lambda s: sp.subm_conv(s, w, offsets=offsets))(st)
+            else:
+                out = jax.vmap(lambda s: sp.strided_conv(
+                    s, w, self.stride_factor, self.capacity,
+                    offsets=offsets))(st)
+        if self.norm == "BN":
+            out = out.with_feats(
+                MaskedBatchNorm(name="norm")(out.feats, out.valid, train))
+        elif self.norm == "IN":
+            out = out.with_feats(
+                MaskedInstanceNorm(name="norm")(out.feats, out.valid))
+        if self.act is not None:
+            out = out.with_feats(self.act(out.feats))
+        return out
+
+
+class SparseBasicBlock(nn.Module):
+    """ME ResNet BasicBlock: conv3(s) - BN - relu - conv3 - BN (+down) - relu.
+    A shared ``kmap`` covers both submanifold convs when stride==1."""
+    features: int
+    stride_factor: int = 1
+    capacity: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, st: sp.SparseTensor, train: bool,
+                 kmap=None) -> sp.SparseTensor:
+        identity = st
+        y = SparseConv(self.features, 3, self.stride_factor,
+                       capacity=self.capacity, norm="BN", act=jax.nn.relu,
+                       name="conv1")(st, train, kmap=kmap)
+        y = SparseConv(self.features, 3, 1, norm="BN",
+                       name="conv2")(y, train,
+                                     kmap=kmap if self.stride_factor == 1
+                                     else None)
+        if self.stride_factor != 1 or identity.num_channels != self.features:
+            identity = SparseConv(self.features, 1,
+                                  self.stride_factor,
+                                  capacity=self.capacity, norm="BN",
+                                  name="downsample")(identity, train)
+        out = y.with_feats(jax.nn.relu(y.feats + identity.feats))
+        return out
+
+
+class FCAF3DBackboneNet(nn.Module):
+    """Sparse ResNet-34 trunk: stem (conv s2 + IN + relu + maxpool s2), four
+    stride-2 stages -> feature tensors at voxel strides 8/16/32/64 with
+    64/128/256/512 channels (reference ``fcaf3d_backbone.py:14-130``)."""
+    depth: int = 34
+    init_dim: int = 64
+    planes: Tuple[int, ...] = (64, 128, 256, 512)
+    capacities: DetectionCapacities = DetectionCapacities()
+
+    @property
+    def layers(self) -> Tuple[int, ...]:
+        return {14: (1, 1, 1, 1), 18: (2, 2, 2, 2), 34: (3, 4, 6, 3),
+                50: (4, 3, 6, 3)}[self.depth]
+
+    @nn.compact
+    def __call__(self, st: sp.SparseTensor, train: bool
+                 ) -> List[sp.SparseTensor]:
+        caps = self.capacities
+        x = SparseConv(self.init_dim, 3, 2, capacity=caps.stride2,
+                       norm="IN", act=jax.nn.relu, name="stem")(st, train)
+        x = jax.vmap(lambda s: sp.max_pool(s, 2, caps.stride4))(x)
+        outs = []
+        for i, (n_blocks, planes) in enumerate(zip(self.layers,
+                                                   self.planes)):
+            x = SparseBasicBlock(planes, 2, capacity=caps.levels[i],
+                                 name=f"layer{i + 1}_block0")(x, train)
+            offsets = sp.kernel_offsets(3)
+            kmap = jax.vmap(lambda s: sp.kernel_map(s, offsets))(x)
+            for b in range(1, n_blocks):
+                x = SparseBasicBlock(
+                    planes, 1,
+                    name=f"layer{i + 1}_block{b}")(x, train, kmap=kmap)
+            outs.append(x)
+        return outs
+
+
+class SparseUpBlock(nn.Module):
+    """Generative transpose k2 s2 + BN + ELU + conv k3 + BN + ELU
+    (reference ``_make_up_block``, ``fcaf3d_head.py:70-84``)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, st: sp.SparseTensor, train: bool) -> sp.SparseTensor:
+        w = self.param("up_kernel", _conv_init,
+                       (8, st.num_channels, self.features))
+        x = jax.vmap(lambda s: sp.generative_transpose_conv(s, w))(st)
+        x = x.with_feats(MaskedBatchNorm(name="norm1")(
+            x.feats, x.valid, train))
+        x = x.with_feats(elu(x.feats))
+        x = SparseConv(self.features, 3, 1, norm="BN", act=elu,
+                       name="conv")(x, train)
+        return x
+
+
+class LevelOut(NamedTuple):
+    """Per-pyramid-level head outputs (padded, fixed capacity)."""
+    centerness: jnp.ndarray    # [B, N]
+    bbox_pred: jnp.ndarray     # [B, N, 6|8]
+    cls_scores: jnp.ndarray    # [B, N, C]
+    points: jnp.ndarray        # [B, N, 3] metric locations
+    valid: jnp.ndarray         # [B, N]
+
+
+class FCAF3DHeadNet(nn.Module):
+    """Neck + shared head (reference ``FCAF3DHead``): top-down generative
+    upsampling with score-based pruning, per-level out block, 1x1
+    centerness/reg/cls convs with per-level learnable reg scale."""
+    n_classes: int
+    in_channels: Tuple[int, ...] = (64, 128, 256, 512)
+    out_channels: int = 128
+    n_reg_outs: int = 6
+    voxel_size: float = 0.01
+    pts_threshold: int = 200000
+    capacities: DetectionCapacities = DetectionCapacities()
+
+    @nn.compact
+    def __call__(self, inputs: List[sp.SparseTensor], train: bool
+                 ) -> List[LevelOut]:
+        n_levels = len(inputs)
+        # head 1x1 convs are shared across pyramid levels; only the reg
+        # scale is per-level (reference ``_init_layers``)
+        c = self.out_channels
+        head_params = dict(
+            w_ctr=self.param("centerness_conv", _conv_init, (1, c, 1)),
+            w_reg=self.param("reg_conv", _conv_init,
+                             (1, c, self.n_reg_outs)),
+            w_cls=self.param("cls_conv", _conv_init,
+                             (1, c, self.n_classes)),
+            b_cls=self.param("cls_bias",
+                             nn.initializers.constant(
+                                 float(-math.log((1 - 0.01) / 0.01))),
+                             (self.n_classes,)),
+            scales=[self.param(f"scale_{i}", nn.initializers.ones, ())
+                    for i in range(n_levels)])
+
+        outs: List[LevelOut] = [None] * n_levels
+        x = inputs[-1]
+        prune_scores_st = None
+        for i in range(n_levels - 1, -1, -1):
+            if i < n_levels - 1:
+                x = SparseUpBlock(self.in_channels[i],
+                                  name=f"up_block_{i + 1}")(x, train)
+                x = jax.vmap(sp.add_into)(x, inputs[i])
+                x = self._prune(x, prune_scores_st,
+                                self.capacities.neck[i])
+            out = SparseConv(self.out_channels, 3, 1, norm="BN", act=elu,
+                             name=f"out_block_{i}")(x, train)
+            level_out, prune_scores_st = self._forward_single(
+                out, i, head_params)
+            outs[i] = level_out
+        return outs
+
+    def _forward_single(self, st: sp.SparseTensor, level: int, hp: dict
+                        ) -> Tuple[LevelOut, sp.SparseTensor]:
+        w_ctr, w_reg, w_cls, b_cls = (hp["w_ctr"], hp["w_reg"],
+                                      hp["w_cls"], hp["b_cls"])
+        scale = hp["scales"][level]
+
+        feats = st.feats.astype(jnp.float32)
+        centerness = jnp.einsum("bnc,cd->bnd", feats, w_ctr[0])[..., 0]
+        cls_scores = jnp.einsum("bnc,cd->bnd", feats, w_cls[0]) + b_cls
+        reg = jnp.einsum("bnc,cd->bnd", feats, w_reg[0])
+        reg_dist = jnp.exp(reg[..., :6] * scale)
+        bbox_pred = jnp.concatenate([reg_dist, reg[..., 6:]], axis=-1)
+
+        points = st.coords.astype(jnp.float32) * self.voxel_size
+        prune_scores = jnp.max(cls_scores, axis=-1)
+        prune_st = st.with_feats(prune_scores[..., None])
+        return (LevelOut(centerness=centerness, bbox_pred=bbox_pred,
+                         cls_scores=cls_scores, points=points,
+                         valid=st.valid),
+                prune_st)
+
+    def _prune(self, x: sp.SparseTensor, scores_st: sp.SparseTensor,
+               capacity: int) -> sp.SparseTensor:
+        """Keep the top min(capacity, pts_threshold) points by the coarser
+        level's max-cls score interpolated at x's coordinates
+        (reference ``_prune``, ``fcaf3d_head.py:123-139``)."""
+        keep = min(capacity, self.pts_threshold) \
+            if self.pts_threshold > 0 else capacity
+
+        def per_scene(xs, ss):
+            pos = xs.coords.astype(jnp.float32)
+            scores = sp.interpolate_at(ss, pos, xs.valid)[:, 0]
+            return sp.prune_topk(xs, scores, keep)
+
+        return jax.vmap(per_scene)(x, jax.lax.stop_gradient(scores_st))
+
+
+def decode_bbox(points: jnp.ndarray, bbox_pred: jnp.ndarray,
+                yaw_parametrization: str = "fcaf3d") -> jnp.ndarray:
+    """Face distances -> boxes (reference ``_bbox_pred_to_bbox``,
+    ``fcaf3d_head.py:300-349``).  Returns [..., 6] (no yaw) or [..., 7]."""
+    x = points[..., 0] + (bbox_pred[..., 1] - bbox_pred[..., 0]) / 2
+    y = points[..., 1] + (bbox_pred[..., 3] - bbox_pred[..., 2]) / 2
+    z = points[..., 2] + (bbox_pred[..., 5] - bbox_pred[..., 4]) / 2
+    if bbox_pred.shape[-1] == 6:
+        return jnp.stack([
+            x, y, z,
+            bbox_pred[..., 0] + bbox_pred[..., 1],
+            bbox_pred[..., 2] + bbox_pred[..., 3],
+            bbox_pred[..., 4] + bbox_pred[..., 5]], axis=-1)
+    if yaw_parametrization == "naive":
+        return jnp.stack([
+            x, y, z,
+            bbox_pred[..., 0] + bbox_pred[..., 1],
+            bbox_pred[..., 2] + bbox_pred[..., 3],
+            bbox_pred[..., 4] + bbox_pred[..., 5],
+            bbox_pred[..., 6]], axis=-1)
+    if yaw_parametrization == "sin-cos":
+        norm = jnp.sqrt(bbox_pred[..., 6] ** 2 + bbox_pred[..., 7] ** 2)
+        norm = jnp.maximum(norm, 1e-12)
+        return jnp.stack([
+            x, y, z,
+            bbox_pred[..., 0] + bbox_pred[..., 1],
+            bbox_pred[..., 2] + bbox_pred[..., 3],
+            bbox_pred[..., 4] + bbox_pred[..., 5],
+            jnp.arctan2(bbox_pred[..., 6] / norm,
+                        bbox_pred[..., 7] / norm)], axis=-1)
+    # 'fcaf3d': sin(2a)ln(q), cos(2a)ln(q)
+    scale = (bbox_pred[..., 0] + bbox_pred[..., 1]
+             + bbox_pred[..., 2] + bbox_pred[..., 3])
+    q = jnp.exp(jnp.sqrt(bbox_pred[..., 6] ** 2 + bbox_pred[..., 7] ** 2))
+    alpha = 0.5 * jnp.arctan2(bbox_pred[..., 6], bbox_pred[..., 7])
+    return jnp.stack([
+        x, y, z,
+        scale / (1 + q),
+        scale / (1 + q) * q,
+        bbox_pred[..., 5] + bbox_pred[..., 4],
+        alpha], axis=-1)
+
+
+class FCAF3DDetector(nn.Module):
+    """Backbone + head with loss / inference drivers.
+
+    gt boxes come in as padded arrays [B, M, 7] with gravity-center z plus a
+    [B, M] validity mask (replacing mmdet3d box objects).
+    """
+    n_classes: int = 18
+    n_reg_outs: int = 6
+    voxel_size: float = 0.01
+    depth: int = 34
+    pts_threshold: int = 200000
+    assigner_limit: int = 27
+    assigner_topk: int = 18
+    yaw_parametrization: str = "fcaf3d"
+    with_yaw: bool = False
+    loss_weights: Tuple[float, float, float] = (1.0, 1.0, 1.0)  # ctr/bbox/cls
+    nms_pre: int = 1000
+    capacities: DetectionCapacities = DetectionCapacities()
+
+    @nn.compact
+    def __call__(self, points: jnp.ndarray, feats: jnp.ndarray,
+                 point_valid: jnp.ndarray, train: bool
+                 ) -> List[LevelOut]:
+        """points [B, P, 3] metric; feats [B, P, C]; valid [B, P]."""
+        st = jax.vmap(lambda p, f, v: sp.voxelize_points(
+            p, f, v, self.voxel_size, self.capacities.voxelize))(
+            points, feats, point_valid)
+        backbone_outs = FCAF3DBackboneNet(
+            depth=self.depth, capacities=self.capacities,
+            name="backbone")(st, train)
+        return FCAF3DHeadNet(
+            n_classes=self.n_classes, n_reg_outs=self.n_reg_outs,
+            voxel_size=self.voxel_size, pts_threshold=self.pts_threshold,
+            capacities=self.capacities, name="head")(backbone_outs, train)
+
+    # -- loss (pure function of head outputs) ------------------------------
+    def loss(self, level_outs: List[LevelOut], gt_boxes: jnp.ndarray,
+             gt_labels: jnp.ndarray, gt_valid: jnp.ndarray,
+             axis_name: Optional[str] = None) -> Dict[str, jnp.ndarray]:
+        cat = lambda xs: jnp.concatenate(xs, axis=1)
+        centerness = cat([o.centerness for o in level_outs])
+        bbox_pred = cat([o.bbox_pred for o in level_outs])
+        cls_scores = cat([o.cls_scores for o in level_outs])
+        points = cat([o.points for o in level_outs])
+        valid = cat([o.valid for o in level_outs])
+        scale_ids = cat([jnp.full(o.valid.shape, i, jnp.int32)
+                         for i, o in enumerate(level_outs)])
+
+        assign = jax.vmap(partial(
+            fcaf3d_assign, n_scales=len(level_outs),
+            limit=self.assigner_limit, topk=self.assigner_topk))(
+            points, scale_ids, valid, gt_boxes, gt_labels, gt_valid)
+
+        pos = (assign.labels >= 0) & valid
+        # cross-scene (and cross-device) averaged positive count, like
+        # mmdet reduce_mean (reference fcaf3d_head.py:188-198)
+        n_pos = jnp.mean(jnp.sum(pos.astype(jnp.float32), axis=1))
+        denorm = jnp.mean(jnp.sum(
+            jnp.where(pos, assign.centerness_targets, 0.0), axis=1))
+        if axis_name is not None:
+            n_pos = jax.lax.pmean(n_pos, axis_name)
+            denorm = jax.lax.pmean(denorm, axis_name)
+        n_pos = jnp.maximum(n_pos, 1.0)
+        denorm = jnp.maximum(denorm, 1e-6)
+
+        b = centerness.shape[0]
+        loss_cls = sigmoid_focal_loss(
+            cls_scores.reshape(-1, self.n_classes),
+            assign.labels.reshape(-1), valid.reshape(-1),
+            avg_factor=n_pos * b) * self.loss_weights[2]
+        loss_ctr = bce_loss(
+            centerness.reshape(-1), assign.centerness_targets.reshape(-1),
+            pos.reshape(-1), avg_factor=n_pos * b) * self.loss_weights[0]
+        pred_boxes = decode_bbox(points, bbox_pred,
+                                 self.yaw_parametrization)
+        if not self.with_yaw:
+            targets = assign.bbox_targets[..., :6]
+            preds = pred_boxes[..., :6]
+        else:
+            targets = assign.bbox_targets
+            preds = pred_boxes
+        loss_bbox = iou3d_loss(
+            preds.reshape(-1, preds.shape[-1]),
+            targets.reshape(-1, targets.shape[-1]),
+            weight=assign.centerness_targets.reshape(-1),
+            valid=pos.reshape(-1), avg_factor=denorm * b,
+            with_yaw=self.with_yaw) * self.loss_weights[1]
+        return {"loss_centerness": loss_ctr, "loss_bbox": loss_bbox,
+                "loss_cls": loss_cls}
+
+    # -- inference ---------------------------------------------------------
+    def get_bboxes(self, level_outs: List[LevelOut]
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Per-scale top ``nms_pre`` by max score, decode, concat
+        (reference ``_get_bboxes_single``, ``fcaf3d_head.py:238-271``).
+
+        Returns (bboxes [B, K, 6|7], scores [B, K, n_classes],
+        valid [B, K]) with K = sum of per-level nms_pre.
+        """
+        all_b, all_s, all_v = [], [], []
+        for o in level_outs:
+            scores = (jax.nn.sigmoid(o.cls_scores)
+                      * jax.nn.sigmoid(o.centerness)[..., None])
+            max_scores = jnp.where(o.valid, jnp.max(scores, axis=-1),
+                                   -jnp.inf)
+            k = min(self.nms_pre, o.valid.shape[1])
+            _, idx = jax.lax.top_k(max_scores, k)
+            take = lambda a: jnp.take_along_axis(
+                a, idx[..., None] if a.ndim == 3 else idx, axis=1)
+            bboxes = decode_bbox(take(o.points), take(o.bbox_pred),
+                                 self.yaw_parametrization)
+            all_b.append(bboxes)
+            all_s.append(take(scores))
+            all_v.append(take(o.valid.astype(jnp.int32)) > 0)
+        return (jnp.concatenate(all_b, axis=1),
+                jnp.concatenate(all_s, axis=1),
+                jnp.concatenate(all_v, axis=1))

@@ -1,0 +1,183 @@
+"""Shared flax layers: torch-padding convs, batch norms (incl. frozen and
+masked-sparse variants), resampling.
+
+Replaces the reference's ``detectron_base.py`` utility layer (Conv2d with
+fused norm/activation, FrozenBatchNorm2d, norm factory) and the ME norm
+layers — with explicit torch-convention padding so converted checkpoints
+reproduce activations exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def torch_padding(kernel_size: int) -> Sequence[Tuple[int, int]]:
+    p = kernel_size // 2
+    return [(p, p)]
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm over all axes but the last, torch semantics.
+
+    ``frozen=True`` reproduces detectron FrozenBatchNorm2d
+    (``detectron_base.py:174``): always running stats, stats never updated
+    (parameter freezing is an optimizer-mask concern).
+    ``per_sample=True`` computes stats per leading-axis sample (the
+    reference's per-frame BN path, ``ray_marching.py:427-436``).
+    """
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    frozen: bool = False
+    per_sample: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        use_batch_stats = train and not self.frozen
+        if use_batch_stats:
+            xf = x.astype(jnp.float32)
+            if self.per_sample:
+                axes = tuple(range(1, x.ndim - 1))
+                mean = jnp.mean(xf, axis=axes, keepdims=True)
+                var = jnp.mean(jnp.square(xf), axis=axes,
+                               keepdims=True) - jnp.square(mean)
+                upd_mean = jnp.mean(mean.reshape(-1, c), axis=0)
+                upd_var = jnp.mean(var.reshape(-1, c), axis=0)
+            else:
+                axes = tuple(range(x.ndim - 1))
+                mean = jnp.mean(xf, axis=axes)
+                var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+                upd_mean, upd_var = mean, var
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * upd_mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * upd_var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (x.astype(jnp.float32) - mean) * inv + bias
+        return y.astype(x.dtype)
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over the valid rows of padded sparse features.
+
+    ME ``MinkowskiBatchNorm`` computes stats over all active voxels of the
+    batch; here invalid (padding) rows are excluded via the mask.
+    Input: feats [..., N, C], mask [..., N].
+    """
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, mask: jnp.ndarray,
+                 train: bool) -> jnp.ndarray:
+        c = feats.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if train:
+            m = mask.astype(jnp.float32)[..., None]
+            n = jnp.maximum(jnp.sum(m), 1.0)
+            xf = feats.astype(jnp.float32) * m
+            mean = jnp.sum(xf, axis=tuple(range(feats.ndim - 1))) / n
+            var = (jnp.sum(jnp.square(xf),
+                           axis=tuple(range(feats.ndim - 1))) / n
+                   - jnp.square(mean))
+            var = jnp.maximum(var, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (feats.astype(jnp.float32) - mean) * inv + bias
+        y = jnp.where(mask[..., None], y, 0.0)
+        return y.astype(feats.dtype)
+
+
+class MaskedInstanceNorm(nn.Module):
+    """Per-scene instance norm over valid rows (ME MinkowskiInstanceNorm,
+    detection stem ``fcaf3d_backbone.py:29``).
+
+    Input: feats [B, N, C], mask [B, N] — stats per scene, per channel.
+    """
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        c = feats.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        m = mask.astype(jnp.float32)[..., None]
+        n = jnp.maximum(jnp.sum(m, axis=-2, keepdims=True), 1.0)
+        xf = feats.astype(jnp.float32) * m
+        mean = jnp.sum(xf, axis=-2, keepdims=True) / n
+        var = (jnp.sum(jnp.square(xf), axis=-2, keepdims=True) / n
+               - jnp.square(mean))
+        inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + self.epsilon)
+        y = (feats.astype(jnp.float32) - mean) * inv * scale + bias
+        y = jnp.where(mask[..., None], y, 0.0)
+        return y.astype(feats.dtype)
+
+
+class ConvBN(nn.Module):
+    """Conv (2D or 3D by input rank) + optional BN + optional activation,
+    torch-style explicit padding."""
+    features: int
+    kernel_size: int
+    strides: int = 1
+    use_bias: bool = False
+    norm: Optional[str] = "BN"          # 'BN' | 'FrozenBN' | None
+    act: Optional[Callable] = None
+    conv_dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        ndim = x.ndim - 2               # spatial dims
+        pad = torch_padding(self.kernel_size) * ndim
+        x = nn.Conv(self.features, (self.kernel_size,) * ndim,
+                    strides=(self.strides,) * ndim, padding=pad,
+                    use_bias=self.use_bias, dtype=self.conv_dtype,
+                    name="conv")(x)
+        if self.norm in ("BN", "FrozenBN"):
+            x = BatchNorm(frozen=self.norm == "FrozenBN", name="norm")(
+                x, train=train)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+def upsample_nearest(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """Nearest ×factor upsample of all spatial axes of [B, *spatial, C]
+    (torch F.interpolate default-mode equivalent)."""
+    for axis in range(1, x.ndim - 1):
+        x = jnp.repeat(x, factor, axis=axis)
+    return x
+
+
+def upsample_linear(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """Bi/tri-linear ×factor upsample with half-pixel centers
+    (torch align_corners=False) over all spatial axes of
+    [B, *spatial, C]."""
+    spatial = x.shape[1:-1]
+    new = tuple(s * factor for s in spatial)
+    return jax.image.resize(x, (x.shape[0],) + new + (x.shape[-1],),
+                            method="linear")

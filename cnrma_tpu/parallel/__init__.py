@@ -1,0 +1,2 @@
+from cnrma_tpu.parallel.mesh import (
+    make_mesh, shard_batch, replicate, data_sharding)

@@ -1,0 +1,70 @@
+"""Device mesh + sharding helpers.
+
+Replaces the reference's NCCL/DDP distribution (``dist_train.sh``,
+``train.py:163-171``, ``MMDistributedDataParallel``) with ``jax.sharding``:
+a 1-D ``('data',)`` mesh shards the scene batch axis; GSPMD inserts the
+gradient all-reduces that DDP did explicitly, and the in-loss cross-rank
+reductions (``reduce_mean`` of positive counts, log-var all_reduce)
+become ordinary global means over the sharded batch axis.
+
+``view_psum_volume`` is the view-parallel path: the volume accumulator is a
+commutative sum (SURVEY.md §5), so views shard across devices and the
+(volume, count) partials combine with one ``psum`` over ICI — the direct
+analog of ring/all-reduce sequence parallelism for this workload.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_names: Sequence[str] = ("data",)) -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    shape = (n,) + (1,) * (len(axis_names) - 1)
+    return Mesh(np.array(devices[:n]).reshape(shape), axis_names)
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """device_put every array leaf with its leading axis sharded."""
+    sh = NamedSharding(mesh, P(axis))
+
+    def put(x):
+        if isinstance(x, (np.ndarray, jnp.ndarray)) and np.ndim(x) >= 1:
+            return jax.device_put(x, sh)
+        return x
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sh) if hasattr(x, "shape") else x,
+        tree)
+
+
+def view_psum_volume(accumulate_fn, axis_name: str = "view"):
+    """Wrap a per-shard volume accumulation so view shards combine by psum.
+
+    ``accumulate_fn(proj_shard, feat_shard, valid_shard) ->
+    (vol_sum, count_sum)`` runs on each device's view shard inside
+    ``shard_map``; the returned closure produces the normalized global
+    volume.
+    """
+    def fn(proj, feats, valid):
+        vol, cnt = accumulate_fn(proj, feats, valid)
+        vol = jax.lax.psum(vol, axis_name)
+        cnt = jax.lax.psum(cnt, axis_name)
+        denom = jnp.where(cnt > 0, cnt, 1.0)
+        return vol / denom[..., None], cnt > 0
+    return fn

@@ -1,0 +1,248 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cnrma_tpu.models.resnet_fpn import ResNetFPN2D
+from cnrma_tpu.models.unet3d import UNet3D
+from cnrma_tpu.models.tsdf_head import TSDFHead
+from cnrma_tpu.models.fcaf3d import (
+    DetectionCapacities, FCAF3DDetector, decode_bbox)
+from cnrma_tpu.models.assigner import compute_centerness, fcaf3d_assign
+
+
+class Test2DTower:
+    def test_shapes_and_stride(self):
+        model = ResNetFPN2D()
+        x = jnp.zeros((2, 64, 96, 3))
+        vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
+        out = model.apply(vars_, x, train=False)
+        assert out.shape == (2, 16, 24, 32)   # stride 4, 32 channels
+
+    def test_train_updates_batch_stats(self):
+        model = ResNetFPN2D()
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
+        out, mutated = model.apply(vars_, x, train=True,
+                                   mutable=["batch_stats"])
+        assert out.shape == (2, 8, 8, 32)
+        # unfrozen stage stats moved; frozen stem stats untouched
+        old = vars_["batch_stats"]["resnet"]["res5_block0"]["conv1"]["norm"]
+        new = mutated["batch_stats"]["resnet"]["res5_block0"]["conv1"][
+            "norm"]
+        assert not np.allclose(np.asarray(old["mean"]),
+                               np.asarray(new["mean"]))
+        stem_old = vars_["batch_stats"]["resnet"]["stem"]["norm"]
+        stem_new = mutated["batch_stats"]["resnet"]["stem"]["norm"]
+        np.testing.assert_array_equal(np.asarray(stem_old["mean"]),
+                                      np.asarray(stem_new["mean"]))
+
+
+class TestUNet3D:
+    def test_multiscale_outputs(self):
+        model = UNet3D(channels=(8, 16, 32, 64), layers_down=(1, 1, 1, 1),
+                       layers_up=(1, 1, 1))
+        x = jnp.zeros((1, 16, 16, 8, 8))
+        vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
+        outs = model.apply(vars_, x, train=False)
+        assert len(outs) == 3
+        assert outs[0].shape == (1, 4, 4, 2, 32)    # 1/4
+        assert outs[1].shape == (1, 8, 8, 4, 16)    # 1/2
+        assert outs[2].shape == (1, 16, 16, 8, 8)   # 1/1
+
+    def test_zero_init_residual_identity(self):
+        model = UNet3D(channels=(4, 8), layers_down=(1, 1),
+                       layers_up=(1,))
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 8, 4))
+        vars_ = model.init(jax.random.PRNGKey(1), x, train=False)
+        # bn2 zero-scale => block output == relu(identity) at init
+        bn2 = vars_["params"]["down0_block0"]["bn2"]
+        np.testing.assert_array_equal(np.asarray(bn2["scale"]), 0.0)
+
+
+class TestTSDFHead:
+    def _make(self):
+        head = TSDFHead(input_channels=(4, 8, 16), voxel_size=0.04)
+        xs = [jnp.ones((1, 4, 4, 2, 16)), jnp.ones((1, 8, 8, 4, 8)),
+              jnp.ones((1, 16, 16, 8, 4))]
+        return head, xs
+
+    def test_output_keys_and_ranges(self):
+        head, xs = self._make()
+        vars_ = head.init(jax.random.PRNGKey(0), xs)
+        out, losses = head.apply(vars_, xs)
+        assert set(out) == {"scene_tsdf_016", "scene_tsdf_008",
+                            "scene_tsdf_004"}
+        assert out["scene_tsdf_004"].shape == (1, 16, 16, 8)
+        assert float(jnp.abs(out["scene_tsdf_016"]).max()) <= 1.05
+
+    def test_losses_with_targets(self):
+        head, xs = self._make()
+        targets = {
+            "tsdf_gt_016": jnp.zeros((1, 4, 4, 2)),
+            "tsdf_gt_008": jnp.zeros((1, 8, 8, 4)),
+            "tsdf_gt_004": jnp.zeros((1, 16, 16, 8)),
+        }
+        vars_ = head.init(jax.random.PRNGKey(0), xs, targets)
+        out, losses = head.apply(vars_, xs, targets)
+        assert set(losses) == {"tsdf_loss_016", "tsdf_loss_008",
+                               "tsdf_loss_004"}
+        for v in losses.values():
+            assert np.isfinite(float(v))
+
+    def test_sparsification_clamps(self):
+        head = TSDFHead(input_channels=(4, 8, 16), voxel_size=0.04,
+                        sparse_threshold=(0.0, 0.0, 0.0))  # everything far
+        xs = [jnp.ones((1, 2, 2, 2, 16)), jnp.ones((1, 4, 4, 4, 8)),
+              jnp.ones((1, 8, 8, 8, 4))]
+        vars_ = head.init(jax.random.PRNGKey(0), xs)
+        out, _ = head.apply(vars_, xs)
+        # with threshold 0 nothing is near-surface -> finer scales clamped
+        assert np.allclose(np.abs(np.asarray(out["scene_tsdf_008"])),
+                           0.999)
+
+
+class TestAssigner:
+    def _points_grid(self, n=6, spacing=0.5):
+        g = np.arange(n) * spacing
+        pts = np.stack(np.meshgrid(g, g, g, indexing="ij"),
+                       -1).reshape(-1, 3)
+        return jnp.asarray(pts.astype(np.float32))
+
+    def test_inside_box_assignment(self):
+        pts = self._points_grid()
+        p = pts.shape[0]
+        boxes = jnp.array([[1.25, 1.25, 1.25, 1.6, 1.6, 1.6, 0.0]])
+        res = fcaf3d_assign(
+            pts, jnp.zeros((p,), jnp.int32), jnp.ones((p,), bool),
+            boxes, jnp.array([3], jnp.int32), jnp.array([True]),
+            n_scales=1, limit=1, topk=200)  # topk > #inside: no cap
+        labels = np.asarray(res.labels)
+        inside = (np.abs(np.asarray(pts) - 1.25) < 0.8).all(1)
+        assert (labels[inside] == 3).all()
+        assert (labels[~inside] == -1).all()
+
+    def test_rotated_box_membership(self):
+        # thin box rotated 45deg: point on the rotated long axis is inside,
+        # same point is outside the unrotated box.  (Two extra far points
+        # supply the strictly-greater topk threshold — with a single
+        # candidate the reference's `centerness > kth` also assigns none.)
+        pts = jnp.array([[0.7, 0.7, 0.0], [9.0, 9.0, 9.0],
+                         [-9.0, -9.0, -9.0]])
+        mk = lambda yaw: jnp.array([[0, 0, 0, 2.4, 0.4, 1.0, yaw]])
+        common = dict(n_scales=1, limit=1, topk=5)
+        sid = jnp.zeros((3,), jnp.int32)
+        ok = jnp.ones((3,), bool)
+        res_rot = fcaf3d_assign(pts, sid, ok, mk(np.pi / 4),
+                                jnp.array([1], jnp.int32),
+                                jnp.array([True]), **common)
+        res_axis = fcaf3d_assign(pts, sid, ok, mk(0.0),
+                                 jnp.array([1], jnp.int32),
+                                 jnp.array([True]), **common)
+        assert int(res_rot.labels[0]) == 1
+        assert int(res_axis.labels[0]) == -1
+
+    def test_topk_limits_positives(self):
+        pts = self._points_grid(8, 0.25)
+        p = pts.shape[0]
+        boxes = jnp.array([[0.875, 0.875, 0.875, 1.8, 1.8, 1.8, 0.0]])
+        res = fcaf3d_assign(
+            pts, jnp.zeros((p,), jnp.int32), jnp.ones((p,), bool),
+            boxes, jnp.array([0], jnp.int32), jnp.array([True]),
+            n_scales=1, limit=1, topk=5)
+        assert (np.asarray(res.labels) >= 0).sum() <= 5
+
+    def test_no_boxes_all_background(self):
+        pts = self._points_grid()
+        p = pts.shape[0]
+        res = fcaf3d_assign(
+            pts, jnp.zeros((p,), jnp.int32), jnp.ones((p,), bool),
+            jnp.zeros((1, 7)), jnp.zeros((1,), jnp.int32),
+            jnp.array([False]), n_scales=1, limit=1, topk=5)
+        assert (np.asarray(res.labels) == -1).all()
+
+    def test_centerness_center_is_one(self):
+        c = compute_centerness(*[jnp.array([1.0])] * 6)
+        np.testing.assert_allclose(float(c[0]), 1.0, atol=1e-6)
+
+
+class TestDecodeBBox:
+    def test_6dof(self):
+        pts = jnp.array([[1.0, 2.0, 3.0]])
+        pred = jnp.array([[0.5, 1.5, 1.0, 1.0, 0.25, 0.75]])
+        box = np.asarray(decode_bbox(pts, pred))
+        np.testing.assert_allclose(box[0],
+                                   [1.5, 2.0, 3.25, 2.0, 2.0, 1.0])
+
+    def test_fcaf3d_yaw_roundtrip(self):
+        # zero angle: p6=0 => alpha=0, q=1 => w = l = scale/2
+        pts = jnp.array([[0.0, 0.0, 0.0]])
+        pred = jnp.array([[1.0, 1.0, 1.0, 1.0, 0.5, 0.5, 0.0, 0.0]])
+        box = np.asarray(decode_bbox(pts, pred, "fcaf3d"))
+        np.testing.assert_allclose(box[0], [0, 0, 0, 2, 2, 1, 0],
+                                   atol=1e-6)
+
+
+class TestFCAF3DDetector:
+    def _toy_scene(self, key, p=256):
+        k1, k2 = jax.random.split(key)
+        pts = jax.random.uniform(k1, (1, p, 3)) * 2.0
+        feats = jax.random.normal(k2, (1, p, 8)) * 0.1
+        valid = jnp.ones((1, p), bool)
+        return pts, feats, valid
+
+    def test_forward_and_loss(self):
+        det = FCAF3DDetector(n_classes=4, n_reg_outs=6, voxel_size=0.05,
+                             pts_threshold=1000, assigner_limit=3,
+                             assigner_topk=4, nms_pre=32,
+                             capacities=DetectionCapacities.tiny())
+        pts, feats, valid = self._toy_scene(jax.random.PRNGKey(0))
+        vars_ = det.init(jax.random.PRNGKey(1), pts, feats, valid,
+                         train=False)
+        outs = det.apply(vars_, pts, feats, valid, train=False)
+        assert len(outs) == 4
+        gt_boxes = jnp.array([[[1.0, 1.0, 1.0, 0.8, 0.8, 0.8, 0.0]]])
+        gt_labels = jnp.array([[2]], jnp.int32)
+        gt_valid = jnp.array([[True]])
+        losses = det.loss(outs, gt_boxes, gt_labels, gt_valid)
+        for k, v in losses.items():
+            assert np.isfinite(float(v)), k
+        assert float(losses["loss_cls"]) > 0
+
+    def test_get_bboxes_shapes(self):
+        det = FCAF3DDetector(n_classes=4, n_reg_outs=6, voxel_size=0.05,
+                             pts_threshold=1000, nms_pre=16,
+                             capacities=DetectionCapacities.tiny())
+        pts, feats, valid = self._toy_scene(jax.random.PRNGKey(2))
+        vars_ = det.init(jax.random.PRNGKey(1), pts, feats, valid,
+                         train=False)
+        outs = det.apply(vars_, pts, feats, valid, train=False)
+        bboxes, scores, bvalid = det.get_bboxes(outs)
+        assert bboxes.shape[0] == 1 and bboxes.shape[2] == 6
+        assert scores.shape[2] == 4
+        assert bboxes.shape[1] == scores.shape[1] == bvalid.shape[1]
+
+    def test_train_mode_grads_finite(self):
+        det = FCAF3DDetector(n_classes=2, n_reg_outs=6, voxel_size=0.05,
+                             pts_threshold=500, assigner_limit=2,
+                             assigner_topk=3,
+                             capacities=DetectionCapacities.tiny())
+        pts, feats, valid = self._toy_scene(jax.random.PRNGKey(3), p=128)
+        vars_ = det.init(jax.random.PRNGKey(1), pts, feats, valid,
+                         train=False)
+        gt_boxes = jnp.array([[[1.0, 1.0, 1.0, 1.2, 1.2, 1.2, 0.0]]])
+        gt_labels = jnp.array([[1]], jnp.int32)
+        gt_valid = jnp.array([[True]])
+
+        def loss_fn(params):
+            outs, _ = det.apply(
+                {"params": params,
+                 "batch_stats": vars_["batch_stats"]},
+                pts, feats, valid, train=True, mutable=["batch_stats"])
+            l = det.loss(outs, gt_boxes, gt_labels, gt_valid)
+            return sum(l.values())
+
+        g = jax.grad(loss_fn)(vars_["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+        assert any(np.abs(np.asarray(x)).sum() > 0 for x in leaves)

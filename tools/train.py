@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Training entry point.
+
+CLI mirrors the reference ``train.py`` (config positional, ``--work-dir``,
+``--resume-from``, ``--seed``, ``--cfg-options``); distribution is a JAX
+device mesh instead of ``torch.distributed.launch`` — run once per host,
+all local devices are used automatically.
+
+Usage:
+    python tools/train.py configs/ray_marching_scannet.py \
+        --work-dir ./work_dirs/scannet [--load-from ckpt] [--batch-size N]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a CN-RMA TPU model")
+    p.add_argument("config")
+    p.add_argument("--work-dir")
+    p.add_argument("--load-from", help="checkpoint with weights only")
+    p.add_argument("--resume-from",
+                   help="checkpoint incl. optimizer/epoch")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="scenes per step (default: one per device)")
+    p.add_argument("--max-steps", type=int, default=None,
+                   help="stop after N optimizer steps (debug)")
+    p.add_argument("--cfg-options", nargs="+", default=[],
+                   help="override config: key=value ...")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from cnrma_tpu.core.config import Config
+    from cnrma_tpu.core.builder import build_model, build_dataset
+    from cnrma_tpu.data.loader import SceneLoader
+    from cnrma_tpu.parallel.mesh import make_mesh
+    from cnrma_tpu.train.loop import (
+        device_batch, make_train_step, run_training, TextLogger)
+    from cnrma_tpu.train.optim import (
+        FROZEN_PREFIXES_FREEZE_AT_2, build_lr_schedule, build_optimizer)
+    from cnrma_tpu.train.state import TrainState, load_checkpoint
+
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        cfg.merge_from_options(dict(kv.split("=", 1)
+                                    for kv in args.cfg_options))
+    work_dir = args.work_dir or cfg.get("work_dir", "./work_dirs/default")
+    os.makedirs(work_dir, exist_ok=True)
+    with open(os.path.join(work_dir, "config_dump.py"), "w") as f:
+        f.write(cfg.dump())
+
+    mesh = make_mesh()
+    n_dev = int(np.prod([d for d in mesh.devices.shape]))
+    batch_size = args.batch_size or n_dev
+
+    dataset = build_dataset(cfg, "train", seed=args.seed)
+    loader = SceneLoader(dataset, batch_size=batch_size, shuffle=True,
+                         num_workers=int(cfg.get("data", {}).get(
+                             "workers_per_gpu", 2)) * 2,
+                         seed=args.seed, drop_last=True)
+
+    model = build_model(cfg, mode="train")
+    steps_per_epoch = max(1, len(loader))
+    lr_schedule = build_lr_schedule(cfg.get("lr_config", {}),
+                                    cfg.optimizer["lr"], steps_per_epoch)
+    grad_clip = (cfg.get("optimizer_config", {}) or {}).get(
+        "grad_clip", {})
+    clip = grad_clip.get("max_norm") if grad_clip else None
+
+    # init params on a sample batch
+    sample = device_batch(next(iter(
+        SceneLoader(dataset, batch_size=batch_size, num_workers=1))))
+    rng = jax.random.PRNGKey(args.seed)
+    variables = model.init({"params": rng, "sample": rng, "aug": rng},
+                           sample, train=False)
+    tx = build_optimizer(cfg.optimizer, lr_schedule, grad_clip=clip,
+                         params=variables["params"],
+                         frozen_prefixes=FROZEN_PREFIXES_FREEZE_AT_2)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}), tx)
+    if args.resume_from or cfg.get("resume_from"):
+        state = load_checkpoint(args.resume_from or cfg.resume_from,
+                                state, weights_only=False)
+    elif args.load_from or cfg.get("load_from"):
+        state = load_checkpoint(args.load_from or cfg.load_from, state,
+                                weights_only=True)
+
+    epochs = int(cfg.get("total_epochs", 1))
+    run_training(
+        model, tx, loader, epochs=epochs, state=state, work_dir=work_dir,
+        lr_schedule=lr_schedule, seed=args.seed,
+        log_interval=int(cfg.get("log_config", {}).get("interval", 10)),
+        checkpoint_interval=int(cfg.get("checkpoint_config", {}).get(
+            "interval", 10)),
+        mesh=mesh)
+
+
+if __name__ == "__main__":
+    main()
