@@ -14,6 +14,16 @@ from typing import Any, Mapping, Optional
 from cnrma_tpu.core.registry import DATASETS, build_from_cfg
 from cnrma_tpu.models.cn_rma import CNRMA, Atlas
 from cnrma_tpu.models.fcaf3d import DetectionCapacities
+from cnrma_tpu.models.fcaf3d_only import FCAF3DOnly
+
+
+def _build_capacities(caps_cfg) -> DetectionCapacities:
+    if not caps_cfg:
+        return DetectionCapacities()
+    return DetectionCapacities(
+        voxelize=caps_cfg["voxelize"], stride2=caps_cfg["stride2"],
+        stride4=caps_cfg["stride4"], levels=tuple(caps_cfg["levels"]),
+        neck=tuple(caps_cfg["neck"]))
 
 
 def build_model(cfg, mode: str = "train"):
@@ -22,6 +32,22 @@ def build_model(cfg, mode: str = "train"):
     reference ``ray_marching.py:412,459``)."""
     m = cfg["model"] if "model" in cfg.keys() else cfg
     model_type = m.get("type", "RayMarching")
+
+    if model_type == "FCAF3DOnly":
+        assigner = m.get("assigner", {})
+        return FCAF3DOnly(
+            n_classes=m.get("n_classes", 18),
+            n_reg_outs=m.get("n_reg_outs", 6),
+            with_yaw=bool(m.get("with_yaw", False)),
+            voxel_size=m.get("voxel_size", 0.01),
+            pts_threshold=m.get("pts_threshold", 200000),
+            assigner_limit=assigner.get("limit", 27),
+            assigner_topk=assigner.get("topk", 18),
+            nms_pre=m.get("nms_pre", 1000),
+            capacities=_build_capacities(m.get("capacities")),
+            use_feature_transform=m.get("use_feature_transform", True),
+            feature_transform=dict(m.get("feature_transform") or {}))
+
     voxel_dim = tuple(m["voxel_dim_train"] if mode == "train"
                       else m["voxel_dim_test"])
 
@@ -48,12 +74,7 @@ def build_model(cfg, mode: str = "train"):
     assigner = head.get("assigner", {})
     test_cfg = head.get("test_cfg", {}) or {}
     loss_bbox = head.get("loss_bbox", {}) or {}
-    caps_cfg = m.get("capacities")
-    caps = (DetectionCapacities(
-        voxelize=caps_cfg["voxelize"], stride2=caps_cfg["stride2"],
-        stride4=caps_cfg["stride4"], levels=tuple(caps_cfg["levels"]),
-        neck=tuple(caps_cfg["neck"]))
-        if caps_cfg else DetectionCapacities())
+    caps = _build_capacities(m.get("capacities"))
 
     return CNRMA(
         **common,

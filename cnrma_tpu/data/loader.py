@@ -18,7 +18,8 @@ import numpy as np
 
 _STACK_KEYS = ("imgs", "projection", "view_valid", "offset", "gt_boxes",
                "gt_labels", "gt_valid", "tsdf_gt_004", "tsdf_gt_008",
-               "tsdf_gt_016", "tsdf_origin")
+               "tsdf_gt_016", "tsdf_origin", "points", "point_feats",
+               "point_valid")
 
 
 def collate_scenes(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:

@@ -17,6 +17,12 @@ def voxel_downsample(points: np.ndarray, voxel: float) -> np.ndarray:
     """Average points per occupied voxel (open3d voxel_down_sample)."""
     if len(points) == 0 or not voxel:
         return points
+    from cnrma_tpu.utils import native
+    if native.available():
+        out = native.voxel_downsample(np.asarray(points, np.float32),
+                                      voxel)
+        if out is not None:
+            return out
     keys = np.floor(points / voxel).astype(np.int64)
     _, inv = np.unique(keys, axis=0, return_inverse=True)
     n = inv.max() + 1

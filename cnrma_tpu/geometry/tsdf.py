@@ -100,6 +100,17 @@ class TSDF:
             origin = old_origin
         origin = np.asarray(origin, dtype=np.float32).reshape(1, 3)
 
+        # fast native path (native/cnrma_host.cpp) when compiled
+        from cnrma_tpu.utils import native
+        if native.available():
+            T4 = np.eye(4, dtype=np.float32)
+            T4[:3, :] = np.asarray(transform, np.float32)[:3, :]
+            out = native.tsdf_resample(self.tsdf_vol, T4, old_origin[0],
+                                       origin[0], self.voxel_size,
+                                       voxel_dim)
+            if out is not None:
+                return TSDF(self.voxel_size, origin, out)
+
         coords = coordinates_grid(voxel_dim).astype(np.float32)  # [3, P]
         world = coords * self.voxel_size + origin.T
         world = np.concatenate([world, np.ones_like(world[:1])], axis=0)

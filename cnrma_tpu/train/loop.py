@@ -29,7 +29,8 @@ from cnrma_tpu.train.state import TrainState, save_checkpoint
 
 
 BATCH_ARRAY_KEYS = ("imgs", "projection", "view_valid", "offset",
-                    "gt_boxes", "gt_labels", "gt_valid")
+                    "gt_boxes", "gt_labels", "gt_valid",
+                    "points", "point_feats", "point_valid")
 
 
 def device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
