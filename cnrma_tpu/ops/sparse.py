@@ -155,17 +155,25 @@ def apply_sparse_conv(feats: jnp.ndarray, weights: jnp.ndarray,
                       out_dtype=None) -> jnp.ndarray:
     """out[m] = Σ_k W[k]ᵀ · feats[idx[k,m]] (missing neighbors contribute 0).
 
-    One MXU matmul per kernel offset; accumulation in fp32.
+    One MXU matmul per kernel offset, accumulated in fp32 under a
+    ``lax.scan`` over offsets — the scan keeps the HLO one-body-sized
+    (vs 27 inlined gather+matmul pairs), which matters for compile time
+    across the ~30-layer detection stack.
     """
-    k = weights.shape[0]
     out_dtype = out_dtype or feats.dtype
-    acc = None
-    for kk in range(k):
-        g = jnp.take(feats, idx[kk], axis=0)
-        g = jnp.where(found[kk][:, None], g, jnp.zeros((), g.dtype))
-        part = jnp.dot(g, weights[kk].astype(g.dtype),
-                       preferred_element_type=jnp.float32)
-        acc = part if acc is None else acc + part
+    m = idx.shape[1]
+    cout = weights.shape[-1]
+
+    def body(acc, inp):
+        wk, ik, fk = inp
+        g = jnp.take(feats, ik, axis=0)
+        g = jnp.where(fk[:, None], g, jnp.zeros((), g.dtype))
+        acc = acc + jnp.dot(g, wk.astype(g.dtype),
+                            preferred_element_type=jnp.float32)
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((m, cout), jnp.float32),
+                          (weights, idx, found))
     return acc.astype(out_dtype)
 
 
@@ -230,11 +238,17 @@ def max_pool(st: SparseTensor, factor: int, capacity: int) -> SparseTensor:
     idx, found = kernel_map(st, offsets, query_coords=out_coords,
                             query_keys=out_keys, offset_stride=st.stride)
     neg = jnp.finfo(st.feats.dtype).min
-    acc = jnp.full((capacity, st.num_channels), neg, st.feats.dtype)
-    for kk in range(offsets.shape[0]):
-        g = jnp.take(st.feats, idx[kk], axis=0)
-        g = jnp.where(found[kk][:, None], g, neg)
-        acc = jnp.maximum(acc, g)
+    feats = st.feats
+
+    def body(acc, inp):
+        ik, fk = inp
+        g = jnp.take(feats, ik, axis=0)
+        g = jnp.where(fk[:, None], g, neg)
+        return jnp.maximum(acc, g), None
+
+    acc, _ = jax.lax.scan(
+        body, jnp.full((capacity, st.num_channels), neg, feats.dtype),
+        (idx, found))
     any_found = found.any(axis=0)
     acc = jnp.where(any_found[:, None], acc, 0.0)
     return SparseTensor(keys=out_keys, coords=out_coords,
@@ -261,11 +275,13 @@ def generative_transpose_conv(st: SparseTensor, weights: jnp.ndarray
                     + jnp.asarray(offsets)[None, :, :])         # [N,8,3]
     child_keys = jnp.where(st.valid[:, None], st.grid.pack(child_coords),
                            SENTINEL_KEY)
-    # child features: feats @ W[k] for each child position k
-    outs = jnp.stack([
-        jnp.dot(st.feats, weights[k].astype(st.feats.dtype),
-                preferred_element_type=jnp.float32)
-        for k in range(8)], axis=1)                              # [N,8,Cout]
+    # child features: one [N,Cin]@[Cin,8*Cout] matmul covers all 8 children
+    cout = weights.shape[-1]
+    w_flat = jnp.transpose(weights, (1, 0, 2)).reshape(
+        st.num_channels, 8 * cout)
+    outs = jnp.dot(st.feats, w_flat.astype(st.feats.dtype),
+                   preferred_element_type=jnp.float32
+                   ).reshape(n, 8, cout)                         # [N,8,Cout]
     keys_flat = child_keys.reshape(8 * n)
     coords_flat = child_coords.reshape(8 * n, 3)
     feats_flat = outs.reshape(8 * n, -1).astype(st.feats.dtype)
@@ -319,18 +335,20 @@ def interpolate_at(st: SparseTensor, positions: jnp.ndarray,
     p = positions / s                                            # grid units
     p0 = jnp.floor(p)
     frac = p - p0
-    acc = jnp.zeros((positions.shape[0], st.num_channels), jnp.float32)
-    for dz in (0, 1):
-        for dy in (0, 1):
-            for dx in (0, 1):
-                corner = (p0 + jnp.array([dx, dy, dz], jnp.float32))
-                w = (jnp.where(dx, frac[:, 0], 1 - frac[:, 0])
-                     * jnp.where(dy, frac[:, 1], 1 - frac[:, 1])
-                     * jnp.where(dz, frac[:, 2], 1 - frac[:, 2]))
-                coord = (corner * s).astype(jnp.int32)
-                keys = st.grid.pack(coord)
-                keys = jnp.where(pos_valid, keys, SENTINEL_KEY)
-                idx, found = lookup(st.keys, keys)
-                g = jnp.take(st.feats, idx, axis=0).astype(jnp.float32)
-                acc = acc + g * (w * found)[:, None]
+    corners = jnp.asarray(
+        [(dx, dy, dz) for dz in (0, 1) for dy in (0, 1)
+         for dx in (0, 1)], jnp.float32)                         # [8,3]
+    st_keys, st_feats, grid, valid = st.keys, st.feats, st.grid, pos_valid
+
+    def body(acc, d):
+        w = jnp.prod(jnp.where(d[None, :] > 0, frac, 1 - frac), axis=1)
+        coord = ((p0 + d[None, :]) * s).astype(jnp.int32)
+        keys = jnp.where(valid, grid.pack(coord), SENTINEL_KEY)
+        idx, found = lookup(st_keys, keys)
+        g = jnp.take(st_feats, idx, axis=0).astype(jnp.float32)
+        return acc + g * (w * found)[:, None], None
+
+    acc, _ = jax.lax.scan(
+        body, jnp.zeros((positions.shape[0], st.num_channels),
+                        jnp.float32), corners)
     return acc

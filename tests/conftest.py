@@ -6,7 +6,9 @@ real TPU pod (SURVEY.md §4) — env vars must be set before jax import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the sandbox exports JAX_PLATFORMS=axon (the remote TPU
+# tunnel), which must not capture unit tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

@@ -32,6 +32,8 @@ def parse_args():
     p.add_argument("checkpoint", nargs="?", default=None)
     p.add_argument("--save-path")
     p.add_argument("--middle-save-path")
+    p.add_argument("--middle-visualize-path",
+                   help="also dump the ray-marched points as .ply")
     p.add_argument("--max-scenes", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cfg-options", nargs="+", default=[])
@@ -54,9 +56,13 @@ def main():
                                     for kv in args.cfg_options))
     save_path = args.save_path or cfg.get("save_path", "./results")
     middle_path = args.middle_save_path or cfg.get("middle_save_path")
+    middle_viz = (args.middle_visualize_path
+                  or cfg.get("middle_visualize_path"))
     os.makedirs(save_path, exist_ok=True)
     if middle_path:
         os.makedirs(middle_path, exist_ok=True)
+    if middle_viz:
+        os.makedirs(middle_viz, exist_ok=True)
 
     dataset = build_dataset(cfg, "test", seed=args.seed)
     loader = SceneLoader(dataset, batch_size=1, shuffle=False,
@@ -110,6 +116,13 @@ def main():
                     [pts.xyz[0][pvalid], pts.feats[0][pvalid]], axis=1)
                 np.save(os.path.join(middle_path, scene + "_vert.npy"),
                         vert.astype(np.float32))
+                if middle_viz:
+                    os.makedirs(os.path.join(middle_viz, scene),
+                                exist_ok=True)
+                    write_ply_points(
+                        os.path.join(middle_viz, scene,
+                                     scene + "_points.ply"),
+                        vert[:, :3])
         except Exception as e:               # per-scene fault isolation,
             print(f"{scene} is invalid! ({e})")   # like ray_marching.py:517
         n_done += 1
