@@ -117,22 +117,38 @@ def run(scale: str):
     return 1.0 / dt
 
 
+SCALE_TIMEOUTS = {"full": 2700, "medium": 1500, "small": 900}
+
+
 def main():
-    value = None
+    """Try scales largest-first, each in a subprocess with a timeout so a
+    hung (remote) compile can't stall the whole benchmark."""
+    import subprocess
+    value, used_scale = None, None
     for scale in ("full", "medium", "small"):
         try:
-            value = run(scale)
-            break
-        except Exception as e:
-            print(f"bench scale={scale} failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), scale],
+                capture_output=True, text=True,
+                timeout=SCALE_TIMEOUTS[scale])
+            for line in out.stdout.splitlines():
+                if line.startswith("BENCH_RESULT "):
+                    value = float(line.split()[1])
+                    used_scale = scale
+                    break
+            if value is not None:
+                break
+            print(f"bench scale={scale} failed:\n"
+                  + out.stderr[-2000:], file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"bench scale={scale} timed out", file=sys.stderr)
     if value is None:
         print(json.dumps({"metric": "scannet_test_scenes_per_sec_per_chip",
                           "value": 0.0, "unit": "scenes/sec",
                           "vs_baseline": 0.0}))
         return
     print(json.dumps({
-        "metric": f"scannet_test_scenes_per_sec_per_chip({scale})",
+        "metric": f"scannet_test_scenes_per_sec_per_chip({used_scale})",
         "value": round(value, 4),
         "unit": "scenes/sec",
         "vs_baseline": round(
@@ -141,4 +157,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] in ("full", "medium", "small"):
+        print("BENCH_RESULT", run(sys.argv[1]))
+    else:
+        main()

@@ -91,13 +91,20 @@ def unique_sorted(keys_sorted: jnp.ndarray, capacity: int
 
 def lookup(keys_sorted: jnp.ndarray, queries: jnp.ndarray
            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Binary-search queries in a sorted key array.
+    """Search queries in a sorted key array.
 
     Returns (idx clipped to [0, N-1], found bool).  Sentinel queries are
     never "found" (sentinel==sentinel hits are masked out).
+
+    Method choice is a measured TPU tradeoff: the bisection ('scan')
+    search costs ~log2(N) serialized HBM gather rounds over all queries
+    (99 ms for 27x262k queries on v5e), while the sort-based method rides
+    the fast on-chip sorter (7M-element sort = 8 ms); above ~1M queries
+    the sort path wins despite its larger compile.
     """
     n = keys_sorted.shape[0]
-    idx = jnp.searchsorted(keys_sorted, queries)
+    method = "sort" if queries.size >= (1 << 20) else "scan"
+    idx = jnp.searchsorted(keys_sorted, queries, method=method)
     idx = jnp.clip(idx, 0, n - 1).astype(jnp.int32)
     found = (jnp.take(keys_sorted, idx) == queries) & (queries != SENTINEL_KEY)
     return idx, found
