@@ -21,6 +21,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Persist compiled executables across processes: full-scale compiles through
+# the remote-TPU tunnel take tens of minutes, the cached reload seconds.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+
 import numpy as np
 
 EST_REFERENCE_SCENES_PER_SEC_PER_GPU = 0.125
@@ -47,7 +54,7 @@ def build_bench(scale: str):
                         levels=(16384, 8192, 4096, 2048),
                         neck=(98304, 32768, 16384)))
     else:
-        dims = dict(voxel_dim=(96, 96, 48), views=10, h=240, w=320,
+        dims = dict(voxel_dim=(96, 96, 48), views=10, h=224, w=320,
                     rays_cap=4096, max_points=32768, ray_samples=150,
                     caps=DetectionCapacities(
                         voxelize=32768, stride2=24576, stride4=16384,
@@ -105,14 +112,20 @@ def run(scale: str):
                           rngs={"sample": jax.random.PRNGKey(0)})
         return out["bboxes"], out["scores"], out["tsdf"]["scene_tsdf_004"]
 
+    def force(res):
+        # block_until_ready is unreliable through the remote (axon) relay;
+        # fetching a dependent element forces real completion
+        for leaf in jax.tree_util.tree_leaves(res):
+            jax.device_get(leaf.reshape(-1)[:1])
+
     # warmup / compile
     r = forward(variables, batch)
-    jax.block_until_ready(r)
+    force(r)
     n_iter = 3
     t0 = time.perf_counter()
     for _ in range(n_iter):
         r = forward(variables, batch)
-    jax.block_until_ready(r)
+    force(r)
     dt = (time.perf_counter() - t0) / n_iter
     return 1.0 / dt
 

@@ -177,7 +177,10 @@ class CNRMA(nn.Module):
     def setup(self):
         self.tower2d = ResNetFPN2D(output_dim=self.feature_dim,
                                    compute_dtype=self.compute_dtype)
-        self.backbone3d = UNet3D(remat=True)
+        self.backbone3d = UNet3D(
+            remat=True,
+            compute_dtype=(self.compute_dtype
+                           if self.compute_dtype != jnp.float32 else None))
         self.tsdf_head = TSDFHead(voxel_size=self.voxel_size,
                                   n_scales=self.n_scales)
         if self.detection:

@@ -36,20 +36,23 @@ class BottleneckBlock(nn.Module):
     features: int
     stride: int = 1
     frozen: bool = False
+    conv_dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         norm = "FrozenBN" if self.frozen else "BN"
         t = train and not self.frozen
+        dt = self.conv_dtype
         shortcut = x
         if x.shape[-1] != self.features or self.stride != 1:
             shortcut = ConvBN(self.features, 1, self.stride, norm=norm,
-                              name="shortcut")(x, train=t)
+                              conv_dtype=dt, name="shortcut")(x, train=t)
         y = ConvBN(self.bottleneck, 1, self.stride, norm=norm, act=relu,
-                   name="conv1")(x, train=t)
+                   conv_dtype=dt, name="conv1")(x, train=t)
         y = ConvBN(self.bottleneck, 3, 1, norm=norm, act=relu,
-                   name="conv2")(y, train=t)
-        y = ConvBN(self.features, 1, 1, norm=norm, name="conv3")(y, train=t)
+                   conv_dtype=dt, name="conv2")(y, train=t)
+        y = ConvBN(self.features, 1, 1, norm=norm, conv_dtype=dt,
+                   name="conv3")(y, train=t)
         return relu(y + shortcut)
 
 
@@ -59,6 +62,7 @@ class ResNet50(nn.Module):
     res2_out_channels: int = 256
     freeze_at: int = 2
     num_blocks: Sequence[int] = (3, 4, 6, 3)
+    conv_dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool
@@ -66,6 +70,7 @@ class ResNet50(nn.Module):
         stem_frozen = self.freeze_at >= 1
         x = ConvBN(self.stem_channels, 7, 2,
                    norm="FrozenBN" if stem_frozen else "BN", act=relu,
+                   conv_dtype=self.conv_dtype,
                    name="stem")(x, train=train and not stem_frozen)
         x = nn.max_pool(x, (3, 3), strides=(2, 2),
                         padding=[(1, 1), (1, 1)])
@@ -79,6 +84,7 @@ class ResNet50(nn.Module):
                 x = BottleneckBlock(
                     bottleneck=bottleneck, features=out_ch,
                     stride=first_stride if b == 0 else 1, frozen=frozen,
+                    conv_dtype=self.conv_dtype,
                     name=f"res{stage_idx + 2}_block{b}")(x, train=train)
             outs[f"res{stage_idx + 2}"] = x
             out_ch *= 2
@@ -90,6 +96,7 @@ class FPN(nn.Module):
     """FPN over res2..res5 -> p2..p6 (sum fuse, BN, no conv bias)."""
     out_channels: int = 256
     norm: str = "BN"
+    conv_dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], train: bool
@@ -99,6 +106,7 @@ class FPN(nn.Module):
         for i, n in enumerate(names):
             laterals.append(ConvBN(self.out_channels, 1, 1, norm=self.norm,
                                    use_bias=self.norm is None,
+                                   conv_dtype=self.conv_dtype,
                                    name=f"lateral{i + 2}")(feats[n],
                                                            train=train))
         # top-down pathway
@@ -110,7 +118,7 @@ class FPN(nn.Module):
         for i in range(4):
             outs[f"p{i + 2}"] = ConvBN(
                 self.out_channels, 3, 1, norm=self.norm,
-                use_bias=self.norm is None,
+                use_bias=self.norm is None, conv_dtype=self.conv_dtype,
                 name=f"output{i + 2}")(merged[i], train=train)
         # p6: stride-2 maxpool of p5 (kernel 1)
         outs["p6"] = nn.max_pool(outs["p5"], (1, 1), strides=(2, 2))
@@ -121,6 +129,7 @@ class PyramidFuse(nn.Module):
     """p2..p5 -> single stride-4 map (AtlasFPNFeature): per-level stacks of
     conv3x3+BN+ReLU with bilinear x2 between, summed."""
     output_dim: int = 32
+    conv_dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, pyramid: Dict[str, jnp.ndarray], train: bool
@@ -131,6 +140,7 @@ class PyramidFuse(nn.Module):
             n_steps = max(1, i)                      # p2: 1 conv, no ups
             for k in range(n_steps):
                 x = ConvBN(self.output_dim, 3, 1, norm="BN", act=relu,
+                           conv_dtype=self.conv_dtype,
                            name=f"{name}_head{k}")(x, train=train)
                 if i > 0:
                     x = upsample_linear(x, 2)
@@ -154,10 +164,12 @@ class ResNetFPN2D(nn.Module):
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool) -> jnp.ndarray:
         x = images.astype(self.compute_dtype)
-        feats = ResNet50(freeze_at=self.freeze_at, name="resnet")(
-            x, train=train)
-        pyramid = FPN(out_channels=self.fpn_channels, name="fpn")(
-            feats, train=train)
-        fused = PyramidFuse(output_dim=self.output_dim, name="fuse")(
-            pyramid, train=train)
+        dt = (self.compute_dtype
+              if self.compute_dtype != jnp.float32 else None)
+        feats = ResNet50(freeze_at=self.freeze_at, conv_dtype=dt,
+                         name="resnet")(x, train=train)
+        pyramid = FPN(out_channels=self.fpn_channels, conv_dtype=dt,
+                      name="fpn")(feats, train=train)
+        fused = PyramidFuse(output_dim=self.output_dim, conv_dtype=dt,
+                            name="fuse")(pyramid, train=train)
         return fused

@@ -28,13 +28,16 @@ class BasicBlock3dZeroInit(nn.Module):
     """3x3x3 residual block with the bn2 *scale parameter* initialized to
     zero — the block starts as identity (reference zero_init_residual)."""
     features: int
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         y = ConvBN(self.features, 3, 1, norm="BN", act=relu,
+                   conv_dtype=self.compute_dtype,
                    name="conv1")(x, train=train)
         y = nn.Conv(self.features, (3, 3, 3), padding=[(1, 1)] * 3,
-                    use_bias=False, name="conv2")(y)
+                    use_bias=False, dtype=self.compute_dtype,
+                    name="conv2")(y)
         y = BatchNormZero(name="bn2")(y, train=train)
         return relu(x + y)
 
@@ -76,6 +79,7 @@ class UNet3D(nn.Module):
     layers_down: Sequence[int] = (1, 2, 3, 4)
     layers_up: Sequence[int] = (3, 2, 1)
     remat: bool = False
+    compute_dtype: Optional[jnp.dtype] = None   # bf16 keeps convs on MXU
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool
@@ -87,13 +91,16 @@ class UNet3D(nn.Module):
         # encoder
         skips = []
         for b in range(self.layers_down[0]):
-            x = block(self.channels[0], name=f"down0_block{b}")(x, train)
+            x = block(self.channels[0], compute_dtype=self.compute_dtype,
+                      name=f"down0_block{b}")(x, train)
         skips.append(x)
         for i in range(1, len(self.channels)):
             x = ConvBN(self.channels[i], 3, 2, norm="BN", act=relu,
+                       conv_dtype=self.compute_dtype,
                        name=f"down{i}_stride")(x, train=train)
             for b in range(self.layers_down[i]):
                 x = block(self.channels[i],
+                          compute_dtype=self.compute_dtype,
                           name=f"down{i}_block{b}")(x, train)
             skips.append(x)
 
@@ -103,11 +110,13 @@ class UNet3D(nn.Module):
         for i in range(1, len(rev)):
             x = upsample_linear(x, 2)
             x = nn.Conv(rev[i], (1, 1, 1), use_bias=False,
+                        dtype=self.compute_dtype,
                         name=f"up{i}_conv")(x)
             # projected skip (ConditionalProjection with condition=False):
             # conv1x1 + BN + relu on the encoder feature
             skip = skips[len(rev) - 1 - i]
             y = nn.Conv(rev[i], (1, 1, 1), use_bias=False,
+                        dtype=self.compute_dtype,
                         name=f"up{i}_proj")(skip)
             y = BatchNorm(name=f"up{i}_proj_norm")(y, train=train)
             y = relu(y)

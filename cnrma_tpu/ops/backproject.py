@@ -9,7 +9,9 @@ sequential per-view accumulation (``ray_marching.py:424-436``) expressed as a
 compiled loop.  The accumulator is a commutative sum, so views can also be
 sharded across devices and combined with a ``psum`` (see parallel/).
 
-Layout: channels-last.  feature [H, W, C]; volume [X, Y, Z, C].
+Layout: channels-last.  feature [H, W, C]; per-view volumes travel as
+[X, Y, Z*C] (pad-free TPU tiling — a bare 32-channel minor dim costs 4x
+lane padding); ``accumulate_views`` unfolds to [X, Y, Z, C] at the end.
 """
 
 from __future__ import annotations
@@ -37,7 +39,9 @@ def backproject_view(projection: jnp.ndarray,
         origin: [3] world position of voxel (0,0,0).
 
     Returns:
-        volume: [X, Y, Z, C] voxel features (0 outside the frustum),
+        volume: [X, Y, Z*C] voxel features, channels folded into the minor
+            axis (pad-free TPU tiling; reshape to [X, Y, Z, C] to unfold),
+            0 outside the frustum.
         valid: [X, Y, Z] bool, voxel projects into the view frustum.
     """
     X, Y, Z = voxel_dim
@@ -61,10 +65,15 @@ def backproject_view(projection: jnp.ndarray,
     valid = ((px >= 0) & (py >= 0) & (px < W) & (py < H) & (pz > 0))
 
     flat_idx = jnp.clip(py, 0, H - 1) * W + jnp.clip(px, 0, W - 1)
+    # The [X*Y*Z, C] gather temp is the memory hot spot: a 32-channel
+    # minor dim gets 4x lane padding under TPU (8,128) tiling.  Masking
+    # fuses into the reshape to [X, Y, Z*C], whose minor dim is a multiple
+    # of 128 — pad-free downstream.
     gathered = jnp.take(feature.reshape(H * W, C),
-                        flat_idx.reshape(-1), axis=0).reshape(X, Y, Z, C)
-    volume = jnp.where(valid[..., None], gathered,
-                       jnp.zeros((), dtype=dtype))
+                        flat_idx.reshape(-1), axis=0)          # [XYZ, C]
+    vol_flat = jnp.where(valid.reshape(-1)[:, None], gathered,
+                         jnp.zeros((), dtype=dtype))
+    volume = vol_flat.reshape(X, Y, Z * C)
     return volume, valid
 
 
@@ -74,13 +83,20 @@ def accumulate_views(projections: jnp.ndarray,
                      voxel_dim: Sequence[int],
                      voxel_size: float,
                      origin: jnp.ndarray,
-                     accum_dtype=jnp.float32
+                     accum_dtype=jnp.float32,
+                     view_chunk: int = 2
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Accumulate all views into a normalized feature volume.
 
     Mirrors reference ``aggregate_2d_features`` + ``clear_3d_features``
     (``ray_marching.py:220-257``): sum per-view volumes and view counts, then
     volume /= count with count==0 -> 0.
+
+    ``view_chunk`` views are summed per scan step before touching the fp32
+    accumulator, dividing the accumulator's HBM read-modify-write traffic
+    (2 x X*Y*Z*C*4 bytes per step — the dominant cost after the gathers)
+    by the chunk size.  Views are padded to a chunk multiple with invalid
+    entries, which contribute nothing.
 
     Args:
         projections: [V, 3, 4] per-view projections (stride-adjusted).
@@ -93,21 +109,39 @@ def accumulate_views(projections: jnp.ndarray,
     """
     X, Y, Z = voxel_dim
     C = features.shape[-1]
+    V = features.shape[0]
+    chunk = max(1, min(view_chunk, V))
+    pad = (-V) % chunk
+    if pad:
+        projections = jnp.concatenate(
+            [projections, jnp.tile(projections[-1:], (pad, 1, 1))], axis=0)
+        features = jnp.concatenate(
+            [features, jnp.zeros((pad,) + features.shape[1:],
+                                 features.dtype)], axis=0)
+        view_valid = jnp.concatenate(
+            [view_valid, jnp.zeros((pad,), view_valid.dtype)], axis=0)
+    n_chunks = features.shape[0] // chunk
+    projections = projections.reshape((n_chunks, chunk) + projections.shape[1:])
+    features = features.reshape((n_chunks, chunk) + features.shape[1:])
+    view_valid = view_valid.reshape(n_chunks, chunk)
 
     def body(carry, inp):
         vol_acc, cnt_acc = carry
-        proj, feat, ok = inp
-        vol, valid = backproject_view(proj, feat, voxel_dim, voxel_size,
-                                      origin)
-        okf = ok.astype(accum_dtype)
-        vol_acc = vol_acc + vol.astype(accum_dtype) * okf
-        cnt_acc = cnt_acc + valid.astype(accum_dtype) * okf
-        return (vol_acc, cnt_acc), None
+        projs, feats, oks = inp
+        vol_sum = jnp.zeros((X, Y, Z * C), accum_dtype)
+        cnt_sum = jnp.zeros((X, Y, Z), accum_dtype)
+        for j in range(chunk):
+            vol, valid = backproject_view(projs[j], feats[j], voxel_dim,
+                                          voxel_size, origin)
+            okf = oks[j].astype(accum_dtype)
+            vol_sum = vol_sum + vol.astype(accum_dtype) * okf
+            cnt_sum = cnt_sum + valid.astype(accum_dtype) * okf
+        return (vol_acc + vol_sum, cnt_acc + cnt_sum), None
 
-    init = (jnp.zeros((X, Y, Z, C), accum_dtype),
+    init = (jnp.zeros((X, Y, Z * C), accum_dtype),
             jnp.zeros((X, Y, Z), accum_dtype))
     (vol, cnt), _ = jax.lax.scan(body, init,
                                  (projections, features, view_valid))
     denom = jnp.where(cnt > 0, cnt, 1.0)
-    volume = vol / denom[..., None]
+    volume = vol.reshape(X, Y, Z, C) / denom[..., None]
     return volume.astype(features.dtype), cnt > 0

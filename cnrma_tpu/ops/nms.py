@@ -61,9 +61,10 @@ def multiclass_nms_np(bboxes: np.ndarray, scores: np.ndarray,
         scores: [N, n_classes] (sigmoid cls x sigmoid centerness).
 
     Returns:
-        (boxes [M, 6|7], scores [M], labels [M]) — bottom-z boxes like
-        ``DepthInstance3DBoxes.tensor`` (so downstream matches the
-        reference's save path, which re-adds dz/2; see ``nms_bbox.py:63``).
+        (boxes [M, 6|7], scores [M], labels [M]) with **gravity-center z**
+        — the reference's ``_atlas_bbox.npz`` convention (its save path
+        stores bottom-z internally then re-adds dz/2, ``nms_bbox.py:63``;
+        ``evaluate_bbox.py`` re-loads with origin=(.5,.5,.5)).
     """
     n_classes = scores.shape[1]
     yaw_flag = bboxes.shape[1] == 7
@@ -77,9 +78,16 @@ def multiclass_nms_np(bboxes: np.ndarray, scores: np.ndarray,
             continue
         cb = bboxes[ids]
         cs = scores[ids, cls]
-        keep = np.asarray(nms_bev(jnp.asarray(cb, jnp.float32),
-                                  jnp.asarray(cs, jnp.float32),
-                                  iou_thr, rotated=yaw_flag))
+        # pad to a power-of-two bucket: nms_bev jits per static length, so
+        # raw per-class counts would trigger a compile per unique N
+        n_real = len(cb)
+        n_pad = max(16, 1 << (n_real - 1).bit_length())
+        cb_p = np.zeros((n_pad, cb.shape[1]), np.float32)
+        cb_p[:n_real] = cb
+        cs_p = np.full((n_pad,), -np.inf, np.float32)
+        cs_p[:n_real] = cs
+        keep = np.asarray(nms_bev(jnp.asarray(cb_p), jnp.asarray(cs_p),
+                                  iou_thr, rotated=yaw_flag))[:n_real]
         out_b.append(cb[keep])
         out_s.append(cs[keep])
         out_l.append(np.full(int(keep.sum()), cls, np.int64))
@@ -91,9 +99,6 @@ def multiclass_nms_np(bboxes: np.ndarray, scores: np.ndarray,
         boxes = np.zeros((0, 7), np.float32)
         scs = np.zeros((0,), np.float32)
         labels = np.zeros((0,), np.int64)
-    # convert gravity-center z to bottom z (DepthInstance3DBoxes storage)
-    boxes = boxes.copy()
-    boxes[:, 2] -= boxes[:, 5] / 2
     if not yaw_flag:
         boxes = boxes[:, :6]
     return boxes, scs, labels

@@ -95,6 +95,23 @@ def _compact(mask: jnp.ndarray, capacity: int, *arrays):
     return outs
 
 
+def _compact_indices(mask: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """Order-preserving compaction emitting source indices only.
+
+    Scattering a single int32 per kept sample (instead of the full
+    xyz/weight/uv payload) keeps the 5.76M-element scatter narrow — the
+    payload is recomputed or gathered afterwards for just ``capacity``
+    rows.  Returns [capacity] int32 indices into the flat mask, -1 for
+    empty slots.
+    """
+    n = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    slot = jnp.where(mask & (pos < capacity), pos, capacity)
+    buf = jnp.full((capacity,), -1, jnp.int32)
+    src = jnp.arange(n, dtype=jnp.int32)
+    return buf.at[slot].set(src, mode="drop")
+
+
 def neus_weights(tsdf_samples: jnp.ndarray) -> jnp.ndarray:
     """NeuS-style occupancy weights along the last (sample) axis.
 
@@ -149,16 +166,33 @@ def ray_march_neus(projection: jnp.ndarray,
     keep = valid.reshape(HW, n_samples) & (w >= weight_threshold)
     w = jnp.where(keep, w, 0.0)
 
-    v_ids, u_ids = jnp.meshgrid(jnp.arange(height, dtype=jnp.int32),
-                                jnp.arange(width, dtype=jnp.int32),
-                                indexing="ij")
-    uv = jnp.stack([u_ids.ravel(), v_ids.ravel()], axis=1)        # [HW,2]
-    uv_full = jnp.broadcast_to(uv[:, None, :], (HW, n_samples, 2))
+    # Per-ray top-K pre-selection — EXACT: NeuS weights along a ray sum to
+    # 1 - prod(1-alpha) <= 1, so at most floor(1/threshold) samples can be
+    # >= threshold; the top-K by weight therefore contains every kept
+    # sample.  This shrinks the compaction input from HW*n_samples (5.76M)
+    # to HW*K (384k), which dominates the op's cost on TPU.
+    k_max = min(n_samples, max(1, math.ceil(1.0 / weight_threshold)))
+    wk, sk = jax.lax.top_k(w, k_max)                     # [HW, K]
+    keep_k = wk >= weight_threshold                      # w==0 elsewhere
+    ray_id = jax.lax.broadcasted_iota(jnp.int32, (HW, k_max), 0)
+    flat_k = ray_id * n_samples + sk                     # original index
 
-    keep_f = keep.reshape(-1)
-    xyz_c, w_c, uv_c = _compact(
-        keep_f, capacity, flat_places, w.reshape(-1), uv_full.reshape(-1, 2))
-    view = jnp.where(w_c > 0, jnp.int32(view_index), jnp.int32(-1))
+    # compact the flat sample index only; rebuild the payload for the
+    # <= capacity survivors (xyz from the ray equation, uv from the pixel
+    # id, weight carried through top_k)
+    sel = _compact_indices(keep_k.reshape(-1), capacity)  # [cap] into HW*K
+    ok = sel >= 0
+    sel_c = jnp.where(ok, sel, 0)
+    src = jnp.take(flat_k.reshape(-1), sel_c)            # index into HW*N
+    pix = src // n_samples
+    smp = src - pix * n_samples
+    d_sel = jnp.take(d, pix, axis=0)                     # [cap,3]
+    xyz_c = o[None, :] + d_sel * jnp.take(ts, smp)[:, None]
+    w_c = jnp.where(ok, jnp.take(wk.reshape(-1), sel_c), 0.0)
+    uv_c = jnp.stack([pix % width, pix // width], axis=1).astype(jnp.int32)
+    uv_c = jnp.where(ok[:, None], uv_c, 0)
+    xyz_c = jnp.where(ok[:, None], xyz_c, 0.0)
+    view = jnp.where(ok & (w_c > 0), jnp.int32(view_index), jnp.int32(-1))
     return RayMarchPoints(xyz=xyz_c, weight=w_c, uv=uv_c, view=view)
 
 
@@ -211,17 +245,18 @@ def ray_march_depth(projection: jnp.ndarray,
         sel_t = (best_index.astype(jnp.float32) + 0.5)[:, None] * t_one
         sel_w = best_weight[:, None]
 
-    sel_places = (o[None, None, :]
-                  + d[:, None, :] * sel_t[..., None])           # [HW,num,3]
-    v_ids, u_ids = jnp.meshgrid(jnp.arange(height, dtype=jnp.int32),
-                                jnp.arange(width, dtype=jnp.int32),
-                                indexing="ij")
-    uv = jnp.stack([u_ids.ravel(), v_ids.ravel()], axis=1)
-    uv_full = jnp.broadcast_to(uv[:, None, :], (HW, num, 2))
-
-    keep = (sel_w > 0).reshape(-1)
-    xyz_c, w_c, uv_c = _compact(
-        keep, capacity, sel_places.reshape(-1, 3), sel_w.reshape(-1),
-        uv_full.reshape(-1, 2))
-    view = jnp.where(w_c > 0, jnp.int32(view_index), jnp.int32(-1))
+    # index-only compaction over the [HW, num] selection grid; payload
+    # (position, weight, uv) is rebuilt for the survivors
+    sel = _compact_indices((sel_w > 0).reshape(-1), capacity)
+    ok = sel >= 0
+    sel_c = jnp.where(ok, sel, 0)
+    pix = sel_c // num
+    d_sel = jnp.take(d, pix, axis=0)                      # [K,3]
+    t_sel = jnp.take(sel_t.reshape(-1), sel_c)
+    xyz_c = o[None, :] + d_sel * t_sel[:, None]
+    w_c = jnp.where(ok, jnp.take(sel_w.reshape(-1), sel_c), 0.0)
+    uv_c = jnp.stack([pix % width, pix // width], axis=1).astype(jnp.int32)
+    uv_c = jnp.where(ok[:, None], uv_c, 0)
+    xyz_c = jnp.where(ok[:, None], xyz_c, 0.0)
+    view = jnp.where(ok & (w_c > 0), jnp.int32(view_index), jnp.int32(-1))
     return RayMarchPoints(xyz=xyz_c, weight=w_c, uv=uv_c, view=view)

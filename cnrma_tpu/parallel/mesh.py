@@ -24,8 +24,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None,
-              axis_names: Sequence[str] = ("data",)) -> Mesh:
-    devices = jax.devices()
+              axis_names: Sequence[str] = ("data",),
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
     n = n_devices or len(devices)
     shape = (n,) + (1,) * (len(axis_names) - 1)
     return Mesh(np.array(devices[:n]).reshape(shape), axis_names)

@@ -15,6 +15,19 @@ from typing import Dict, Iterator, Optional
 import jax
 
 
+def force_ready(r) -> None:
+    """Force device completion of every array leaf in ``r``.
+
+    ``jax.block_until_ready`` is unreliable through remote-relay platforms
+    (axon): it can return before the computation really finished.  Fetching
+    a dependent [:1] slice to the host forces completion with a negligible
+    transfer.
+    """
+    for leaf in jax.tree_util.tree_leaves(r):
+        if hasattr(leaf, "reshape"):
+            jax.device_get(leaf.reshape(-1)[:1])
+
+
 class StageTimer:
     """Accumulates blocking wall-clock per named stage."""
 

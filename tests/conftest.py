@@ -16,4 +16,8 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
+# The sandbox's sitecustomize pins jax_platforms to the remote 'axon' TPU
+# via jax.config (which wins over the env var) — override it back, or every
+# unit test compiles through the network tunnel.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

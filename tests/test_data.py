@@ -238,3 +238,29 @@ class TestConfigBuilder:
         cfg = Config.fromfile("configs/fcaf3d_middle_scannet.py")
         model = build_model(cfg)
         assert model.n_classes == 18
+
+
+class TestVisualizeTools:
+    def test_generate_gt_writes_npz_schema(self, tmp_path):
+        import sys
+        sys.path.insert(0, "tools")
+        from visualize_results import generate_gt, box_corners
+
+        scene = "scene0000_00"
+        (tmp_path / "results" / scene).mkdir(parents=True)
+        gt_dir = tmp_path / "gt"
+        gt_dir.mkdir()
+        arr = np.array([[1.0, 2.0, 0.5, 1.0, 1.0, 1.0, 0.0, 3],
+                        [0.0, 0.0, 1.0, 2.0, 2.0, 2.0, 0.2, 5]],
+                       np.float32)
+        np.save(gt_dir / f"{scene}_aligned_bbox.npy", arr)
+        generate_gt(str(tmp_path / "results"), str(gt_dir), "_gt_bbox")
+        out = np.load(tmp_path / "results" / scene
+                      / f"{scene}_gt_bbox.npz")
+        assert out["boxes"].shape == (2, 7)
+        np.testing.assert_allclose(out["scores"], 1.0)
+        assert list(out["labels"]) == [3, 5]
+        # corners helper: unit box at origin spans +-0.5 in xy, 0..1 in z
+        c = box_corners(np.array([0, 0, 0, 1, 1, 1, 0.0]))
+        assert c.shape == (8, 3)
+        np.testing.assert_allclose(sorted(set(c[:, 2])), [0.0, 1.0])

@@ -29,7 +29,7 @@ class TestBackproject:
         vol, valid = backproject_view(
             jnp.asarray(proj), jnp.asarray(feat), (8, 8, 8), 0.25,
             jnp.array([-1.0, -1.0, 0.1]))
-        vol = np.asarray(vol)
+        vol = np.asarray(vol).reshape(8, 8, 8, C)   # unfold [X,Y,Z*C]
         valid = np.asarray(valid)
         # voxels on the optical axis (x=y=0 world, i.e. index 4,4) should get
         # the principal pixel's feature
@@ -123,6 +123,48 @@ class TestRayMarching:
         kept_z = xyz[w > 0][:, 2]
         assert np.abs(np.median(kept_z) - 1.0) < 0.3
         assert (np.asarray(pts.view)[w > 0] == 3).all()
+
+    def test_ray_march_neus_topk_exact(self):
+        """The per-ray top-K pre-selection must keep EXACTLY the samples a
+        brute-force threshold scan keeps (weights along a ray sum to <= 1,
+        bounding the above-threshold count by 1/threshold)."""
+        n, vs = 16, 0.125
+        rng = np.random.RandomState(3)
+        # random smooth-ish TSDF with several sign changes
+        tsdf = rng.rand(n, n, n).astype(np.float32) * 2 - 1
+        origin = jnp.array([-1.0, -0.75, 0.0])
+        proj = jnp.asarray(simple_projection())
+        h, w, ns, thr = 12, 16, 64, 0.05
+        pts = ray_march_neus(proj, jnp.asarray(tsdf), (n, n, n), vs,
+                             origin, h, w, view_index=0, n_samples=ns,
+                             weight_threshold=thr, capacity=8192)
+        # brute force: same math, no top-k
+        from cnrma_tpu.ops.ray_marching import (
+            _sample_tsdf, get_ray_parameters)
+        import math as _m
+        o, d = get_ray_parameters(proj, h, w)
+        t_max = _m.sqrt(3 * n * n) * vs
+        ts = np.arange(ns, dtype=np.float32) * (t_max / ns)
+        places = (np.asarray(o)[None, None, :]
+                  + np.asarray(d)[:, None, :] * ts[None, :, None])
+        vals, valid = _sample_tsdf(jnp.asarray(tsdf),
+                                   jnp.asarray(places.reshape(-1, 3)),
+                                   origin, vs)
+        wref = np.asarray(neus_weights(
+            np.asarray(vals).reshape(h * w, ns)))
+        keep_ref = (np.asarray(valid).reshape(h * w, ns)
+                    & (wref >= thr))
+        got = sorted(map(tuple, np.round(
+            np.asarray(pts.xyz)[np.asarray(pts.weight) > 0], 4)))
+        ray_ids, s_ids = np.nonzero(keep_ref)
+        exp_xyz = (np.asarray(o)[None, :]
+                   + np.asarray(d)[ray_ids] * ts[s_ids][:, None])
+        exp = sorted(map(tuple, np.round(exp_xyz, 4)))
+        assert got == exp
+        # weights match too
+        got_w = np.sort(np.asarray(pts.weight)[np.asarray(pts.weight) > 0])
+        exp_w = np.sort(wref[keep_ref])
+        np.testing.assert_allclose(got_w, exp_w, rtol=1e-5)
 
     def test_ray_march_depth_wall(self):
         n, vs = 16, 0.125
@@ -223,8 +265,9 @@ class TestNMS:
         b, s, l = multiclass_nms_np(boxes, scores)
         assert len(b) == 2
         assert (l == 1).all()
-        # bottom-z convention on output
-        np.testing.assert_allclose(b[:, 2], -1.0)
+        # gravity-center z convention on output (reference
+        # _atlas_bbox.npz contract)
+        np.testing.assert_allclose(b[:, 2], 0.0)
 
 
 class TestLosses:

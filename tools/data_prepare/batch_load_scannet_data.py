@@ -106,8 +106,7 @@ def process_scene(scans_dir, scene, label_map, out_dir):
             if "axisAlignment" in line:
                 axis_align = np.array(
                     [float(x) for x in
-                     line.rstrip().strip("axisAlignment = ").split(" ")]
-                ).reshape(4, 4)
+                     line.split("=", 1)[1].split()]).reshape(4, 4)
                 break
     aligned = verts.copy()
     ones = np.hstack([verts[:, :3], np.ones((n, 1))])

@@ -42,6 +42,8 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from cnrma_tpu.utils.comp_cache import enable_persistent_cache
+    enable_persistent_cache()
     from cnrma_tpu.core.config import Config
     from cnrma_tpu.core.builder import build_model, build_dataset
     from cnrma_tpu.data.loader import SceneLoader

@@ -42,6 +42,8 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from cnrma_tpu.utils.comp_cache import enable_persistent_cache
+    enable_persistent_cache()
     from cnrma_tpu.core.config import Config
     from cnrma_tpu.core.builder import build_model, build_dataset
     from cnrma_tpu.data.loader import SceneLoader
@@ -90,9 +92,15 @@ def main():
                          frozen_prefixes=FROZEN_PREFIXES_FREEZE_AT_2)
     state = TrainState.create(variables["params"],
                               variables.get("batch_stats", {}), tx)
+    start_epoch = 0
     if args.resume_from or cfg.get("resume_from"):
-        state = load_checkpoint(args.resume_from or cfg.resume_from,
-                                state, weights_only=False)
+        resume_path = args.resume_from or cfg.resume_from
+        state = load_checkpoint(resume_path, state, weights_only=False)
+        meta_file = os.path.join(resume_path, "cnrma_meta.json")
+        if os.path.isfile(meta_file):
+            import json
+            with open(meta_file) as f:
+                start_epoch = int(json.load(f).get("epoch", 0))
     elif args.load_from or cfg.get("load_from"):
         state = load_checkpoint(args.load_from or cfg.load_from, state,
                                 weights_only=True)
@@ -104,7 +112,7 @@ def main():
         log_interval=int(cfg.get("log_config", {}).get("interval", 10)),
         checkpoint_interval=int(cfg.get("checkpoint_config", {}).get(
             "interval", 10)),
-        mesh=mesh)
+        mesh=mesh, start_epoch=start_epoch)
 
 
 if __name__ == "__main__":

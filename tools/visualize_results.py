@@ -57,6 +57,29 @@ def edge_quads(p1, p2, radius=0.01):
     return verts, faces
 
 
+def generate_gt(result_path: str, gt_path: str, postfix: str) -> None:
+    """Convert GT ``{scene}_aligned_bbox.npy`` instance data into the same
+    ``{boxes, scores, labels}`` npz schema the renderer consumes (reference
+    ``visualize_results.py:251-283``), so GT and predictions can be rendered
+    side by side with different ``--postfix`` values."""
+    for scene in sorted(os.listdir(result_path)):
+        scene_dir = os.path.join(result_path, scene)
+        if not os.path.isdir(scene_dir):
+            continue
+        npy = os.path.join(gt_path, scene + "_aligned_bbox.npy")
+        if not os.path.isfile(npy):
+            continue
+        arr = np.load(npy)
+        boxes = arr[:, :7].astype(np.float32) if arr.shape[1] >= 7 else \
+            np.concatenate([arr[:, :6],
+                            np.zeros((len(arr), 1))], 1).astype(np.float32)
+        labels = arr[:, -1].astype(np.int64)
+        np.savez(os.path.join(scene_dir, scene + postfix + ".npz"),
+                 boxes=boxes, scores=np.ones(len(arr), np.float32),
+                 labels=labels)
+        print(scene, len(arr), "gt boxes")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--result_path", required=True)
@@ -66,6 +89,11 @@ def main():
     p.add_argument("--gt_path", default=None,
                    help="instance-data dir for --generate_gt")
     args = p.parse_args()
+
+    if args.generate_gt:
+        if not args.gt_path:
+            p.error("--generate_gt requires --gt_path")
+        generate_gt(args.result_path, args.gt_path, args.postfix)
 
     from cnrma_tpu.utils.ply import read_ply, write_ply_mesh
 
