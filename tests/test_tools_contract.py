@@ -1,0 +1,79 @@
+"""End-to-end contract test for the offline post-processing chain.
+
+Guards the z-convention contract (reference ``post_process/nms_bbox.py:58-66``
+-> ``evaluate_bbox.py:63-66``): the raw per-scene dump carries gravity-center
+z, ``tools/nms_bbox.py`` must write the NMS survivors UNCHANGED (still
+gravity-center), and ``tools/evaluate_bbox.py`` converts once to bottom-z for
+``indoor_eval``.  Round-1 bug: the nms tool double-added dz/2, lifting every
+prediction half its height above GT.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+TOOLS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools")
+sys.path.insert(0, os.path.dirname(TOOLS))
+
+
+def _write_scene(result_root, gt_dir, scene, boxes_gravity, labels,
+                 n_classes=18):
+    """Write a raw bbox dump + matching GT npy for one synthetic scene."""
+    os.makedirs(os.path.join(result_root, scene), exist_ok=True)
+    os.makedirs(gt_dir, exist_ok=True)
+    n = len(boxes_gravity)
+    scores = np.full((n, n_classes), 0.001, np.float32)
+    scores[np.arange(n), labels] = 0.9
+    np.savez(os.path.join(result_root, scene, scene + "_bbox_raw.npz"),
+             bboxes=boxes_gravity.astype(np.float32), scores=scores)
+    # GT npy layout: [cx, cy, cz(gravity), dx, dy, dz, nyu40_cat_id]
+    from tools.evaluate_bbox import SCANNET_CAT_IDS
+    cats = np.array([SCANNET_CAT_IDS[l] for l in labels], np.float32)
+    gt = np.concatenate([boxes_gravity.astype(np.float32),
+                         cats[:, None]], axis=1)
+    np.save(os.path.join(gt_dir, scene + "_aligned_bbox.npy"), gt)
+
+
+def _run_chain(tmp_path, monkeypatch):
+    from tools import evaluate_bbox, nms_bbox
+
+    result_root = str(tmp_path / "results")
+    data_path = str(tmp_path / "data")
+    gt_dir = os.path.join(data_path, "scannet_instance_data")
+
+    boxes = np.array([
+        [1.0, 1.0, 0.8, 0.8, 0.6, 1.6],   # chair-sized
+        [3.5, 1.0, 0.4, 1.6, 2.0, 0.8],   # bed-sized, different height
+        [1.0, 4.0, 1.2, 2.0, 0.9, 2.4],   # bookshelf-sized
+    ], np.float32)
+    labels = np.array([2, 1, 7])
+    _write_scene(result_root, gt_dir, "scene0000_00", boxes, labels)
+
+    monkeypatch.setattr(sys, "argv",
+                        ["nms_bbox.py", "--result_path", result_root])
+    nms_bbox.main()
+
+    monkeypatch.setattr(sys, "argv",
+                        ["evaluate_bbox.py", "--dataset", "scannet",
+                         "--data_path", data_path,
+                         "--result_path", result_root])
+    return evaluate_bbox.main(), result_root, boxes
+
+
+class TestNmsEvalChain:
+    def test_perfect_predictions_score_map_1(self, tmp_path, monkeypatch):
+        metrics, result_root, boxes = _run_chain(tmp_path, monkeypatch)
+        assert metrics["mAP_0.25"] == pytest.approx(1.0)
+        assert metrics["mAP_0.50"] == pytest.approx(1.0)
+
+    def test_nms_output_stays_gravity_center(self, tmp_path, monkeypatch):
+        _, result_root, boxes = _run_chain(tmp_path, monkeypatch)
+        out = np.load(os.path.join(result_root, "scene0000_00",
+                                   "scene0000_00_atlas_bbox.npz"))
+        # every written box must equal one of the raw gravity-center boxes
+        for b in out["boxes"]:
+            d = np.abs(boxes - b[None, :6]).max(axis=1)
+            assert d.min() < 1e-5, f"box {b} shifted vs raw dump"

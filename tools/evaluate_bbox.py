@@ -87,6 +87,7 @@ def main():
                           label2cat=label2cat, rotated=rotated)
     print(f"\nmAP@0.25 = {metrics['mAP_0.25']:.4f}   "
           f"mAP@0.50 = {metrics['mAP_0.50']:.4f}")
+    return metrics
 
 
 if __name__ == "__main__":

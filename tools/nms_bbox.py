@@ -39,14 +39,15 @@ def main():
         boxes, scores, labels = multiclass_nms_np(
             data["bboxes"], data["scores"], score_thr=args.score_thr,
             iou_thr=args.iou_thr)
-        # stored boxes use gravity-center z (reference nms_bbox.py:63
-        # re-adds dz/2 after the bottom-z box container)
-        out = boxes.copy()
-        out[:, 2] += out[:, 5] / 2
+        # contract: stored boxes use gravity-center z.  The raw dump and
+        # multiclass_nms_np already carry gravity-center z, so the boxes
+        # pass through unchanged — the reference's +dz/2 (nms_bbox.py:63)
+        # only undoes the bottom-z conversion its DepthInstance3DBoxes
+        # (origin=(.5,.5,.5)) container performed, which we never do.
         np.savez(os.path.join(args.result_path, scene,
                               scene + args.postfix),
-                 boxes=out, scores=scores, labels=labels)
-        print("Saved", scene, f"({len(out)} boxes)")
+                 boxes=boxes, scores=scores, labels=labels)
+        print("Saved", scene, f"({len(boxes)} boxes)")
 
 
 if __name__ == "__main__":
