@@ -60,10 +60,15 @@ def build_model(cfg, mode: str = "train"):
         pixel_std=tuple(m.get("pixel_std", (1.0, 1.0, 1.0))),
         backbone2d_stride=m.get("backbone2d_stride", 4),
         feature_dim=m.get("feature_2d", {}).get("output_dim", 32),
-        use_batchnorm_train=m.get("use_batchnorm_train", True),
-        use_batchnorm_test=m.get("use_batchnorm_test", False),
         loss_weight_recon=m.get("loss_weight_recon", 1.0),
     )
+    # ``use_batchnorm_train/test`` (reference ray_marching.py:474-483) pick
+    # joint-batch vs per-frame 2D backbone execution to control BN batch
+    # statistics.  Our BN uses running stats in both train-frozen and eval
+    # modes (resnet_fpn.py FrozenBN), so per-frame and joint execution are
+    # numerically identical — the knobs are accepted for config
+    # compatibility and intentionally ignored.
+    m.get("use_batchnorm_train"), m.get("use_batchnorm_test")
 
     if model_type == "Atlas":
         return Atlas(**common)
@@ -114,5 +119,10 @@ def build_dataset(cfg, data_key: str = "train", **overrides):
                  overrides.pop("space_mode",
                                "origin" if data_key in ("val", "test")
                                else "middle"))
+    # stage-1 recon configs carry the augmentation knobs in a top-level
+    # ``recon_pipeline`` block (reference AtlasRandomTransformSpaceRecon args)
+    if (str(d.get("space_mode", "")).startswith("recon")
+            and "recon_pipeline" in cfg):
+        d.setdefault("recon_pipeline", dict(cfg["recon_pipeline"]))
     d.update(overrides)
     return build_from_cfg(d, DATASETS)

@@ -51,7 +51,8 @@ class AtlasScanNetDataset:
                  voxel_size: float = 0.04, select_type: str = "random",
                  voxel_dim=(192, 192, 80), space_mode: str = "middle",
                  max_gt_boxes: int = 64, image_size=(640, 480),
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None,
+                 recon_pipeline: Optional[Dict] = None):
         self.data_root = data_root
         self.classes = classes
         self.test_mode = test_mode
@@ -62,6 +63,7 @@ class AtlasScanNetDataset:
         self.space_mode = space_mode
         self.max_gt_boxes = max_gt_boxes
         self.image_size = tuple(image_size)
+        self.recon_pipeline = dict(recon_pipeline or {})
         self.rng = np.random.RandomState(seed)
         with open(ann_file, "rb") as f:
             self.data_infos = sorted(pickle.load(f),
@@ -130,9 +132,22 @@ class AtlasScanNetDataset:
             resized.append(im)
             res_intr.append(k)
 
-        extrinsics, tsdf_dict, boxes, offset = T.space_transform_detection(
-            extrinsics, tsdf_dict, boxes, self.voxel_dim,
-            test=self.test_mode, mode=self.space_mode)
+        # space-mode dispatch: detection crops ('middle'/'origin') vs the
+        # stage-1 recon augmentations (reference
+        # ``atlas_transforms.py:132-227``); the recon path leaves GT boxes
+        # untouched (the Atlas model has no detection branch)
+        if self.space_mode == "recon_random":
+            extrinsics, tsdf_dict, offset = T.space_transform_recon_random(
+                self.rng, extrinsics, tsdf_dict, self.voxel_dim,
+                **self.recon_pipeline)
+        elif self.space_mode == "recon_test":
+            extrinsics, tsdf_dict, offset = T.space_transform_recon_test(
+                extrinsics, tsdf_dict, self.voxel_dim)
+        else:
+            extrinsics, tsdf_dict, boxes, offset = (
+                T.space_transform_detection(
+                    extrinsics, tsdf_dict, boxes, self.voxel_dim,
+                    test=self.test_mode, mode=self.space_mode))
         projections = np.stack([
             T.projection_from(k, e)
             for k, e in zip(res_intr, extrinsics)])

@@ -169,9 +169,10 @@ class CNRMA(nn.Module):
     # augmentation
     use_feature_transform: bool = True
     feature_transform: Optional[Dict[str, Any]] = None
-    # misc
-    use_batchnorm_train: bool = True
-    use_batchnorm_test: bool = False
+    # misc — the reference's use_batchnorm_train/test knobs
+    # (ray_marching.py:474-483) have no analog here: with running-stats BN
+    # (FrozenBN) per-frame and joint-batch 2D execution are identical, so
+    # the builder accepts-and-ignores them (core/builder.py)
     compute_dtype: Any = jnp.float32
 
     def setup(self):

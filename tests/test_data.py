@@ -142,6 +142,42 @@ class TestScanNetDataset:
         # gravity z = bottom + h/2
         np.testing.assert_allclose(s["gt_boxes"][0, 5], 1.0)
 
+    def test_recon_random_mode(self, tmp_path):
+        """Stage-1 pretrain path (reference atlas_transforms.py:132-205):
+        space_mode='recon_random' must dispatch to the recon transform
+        (round-1 bug: it raised ValueError)."""
+        root = str(tmp_path)
+        ann = make_synthetic_scannet(root)
+        ds = AtlasScanNetDataset(
+            data_root=root, ann_file=ann, num_frames=4,
+            voxel_dim=(48, 48, 32), test_mode=False, seed=0,
+            space_mode="recon_random",
+            recon_pipeline=dict(random_rotation=True,
+                                random_translation=True,
+                                padding_xy=0.2, padding_z=0.1))
+        s = ds[0]
+        assert s["imgs"].shape == (4, 480, 640, 3)
+        assert s["tsdf_gt_004"].shape == (48, 48, 32)
+        assert s["tsdf_gt_016"].shape == (12, 12, 8)
+        assert np.isfinite(s["offset"]).all()
+        # two draws with an rng differ (random rotation/translation applied)
+        s2 = ds[0]
+        assert not np.allclose(s["offset"], s2["offset"])
+
+    def test_recon_test_mode(self, tmp_path):
+        """space_mode='recon_test' -> deterministic half-meter-aligned
+        shift (reference atlas_transforms.py:207-227)."""
+        root = str(tmp_path)
+        ann = make_synthetic_scannet(root)
+        ds = AtlasScanNetDataset(
+            data_root=root, ann_file=ann, num_frames=4,
+            voxel_dim=(48, 48, 32), test_mode=True, seed=0,
+            space_mode="recon_test")
+        s = ds[0]
+        assert s["tsdf_gt_004"].shape == (48, 48, 32)
+        s2 = ds[0]
+        np.testing.assert_allclose(s["offset"], s2["offset"])
+
     def test_loader_batching(self, tmp_path):
         root = str(tmp_path)
         ann = make_synthetic_scannet(root)
