@@ -4,11 +4,14 @@ Re-implements the reference's offline fusion
 (``data_prepare/scannet/tsdf.py:402-451`` + ``generate_tsdf.py:82-173``) as
 a ``lax.scan`` over frames on a fixed voxel grid:
 
-* signed distance ``dist = pz - depth`` clipped to [-1, 1] in units of the
+* signed distance ``dist = pz - depth`` clamped to min -1 in units of the
   truncation margin (``trunc_ratio`` voxels); voxels more than one margin
-  behind the surface stay unknown (+1);
-* first observation writes the value, later ones accumulate a running sum
-  with a weight count (average on readout);
+  behind the surface (dist >= 1) stay unknown (+1);
+* near-surface observations (dist > -1) accumulate a running sum with a
+  weight count (average on readout) — exactly the reference ``integrate``
+  (``tsdf.py:436-446``): clamped free-space observations (dist == -1) only
+  perform a "first write", so a voxel seen exclusively as deep free space
+  reads out as -1 with weight 0, and never biases the near-surface mean;
 * volume bounds come from a depth-backprojected point cloud quantile with
   margin (``get_volume_setting``).
 
@@ -55,7 +58,7 @@ def fuse_tsdf(depths: jnp.ndarray,
     zs = jnp.arange(Z, dtype=jnp.float32) * voxel_size + origin[2]
 
     def integrate(carry, inp):
-        tsdf_sum, weight = carry
+        tsdf_sum, weight, free_seen = carry
         proj, depth, ok = inp
         cam = (proj[:, 0][None, None, None, :] * xs[:, None, None, None]
                + proj[:, 1][None, None, None, :] * ys[None, :, None, None]
@@ -70,17 +73,23 @@ def fuse_tsdf(depths: jnp.ndarray,
         d = jnp.take(depth.reshape(-1), flat.reshape(-1)).reshape(pz.shape)
         has_depth = (d > 0) & (d <= max_depth)
         dist = jnp.clip((pz - d) / trunc, -1.0, None)
-        near = dist < 1.0              # not beyond truncation behind
-        valid = in_view & has_depth & near & ok
-        tsdf_sum = tsdf_sum + jnp.where(valid, dist, 0.0)
-        weight = weight + valid.astype(jnp.float32)
-        return (tsdf_sum, weight), None
+        valid = in_view & has_depth & (dist < 1.0) & ok
+        # reference integrate (tsdf.py:436-446): only near-surface
+        # observations (dist > -1) enter the running mean; a clamped
+        # free-space observation (dist == -1) is remembered but weightless
+        near = valid & (dist > -1.0)
+        tsdf_sum = tsdf_sum + jnp.where(near, dist, 0.0)
+        weight = weight + near.astype(jnp.float32)
+        free_seen = free_seen | (valid & ~near)
+        return (tsdf_sum, weight, free_seen), None
 
     init = (jnp.zeros((X, Y, Z), jnp.float32),
-            jnp.zeros((X, Y, Z), jnp.float32))
-    (tsdf_sum, weight), _ = jax.lax.scan(
+            jnp.zeros((X, Y, Z), jnp.float32),
+            jnp.zeros((X, Y, Z), bool))
+    (tsdf_sum, weight, free_seen), _ = jax.lax.scan(
         integrate, init, (projections, depths, frame_valid))
-    tsdf = jnp.where(weight > 0, tsdf_sum / jnp.maximum(weight, 1.0), 1.0)
+    tsdf = jnp.where(weight > 0, tsdf_sum / jnp.maximum(weight, 1.0),
+                     jnp.where(free_seen, -1.0, 1.0))
     return tsdf, weight
 
 

@@ -77,20 +77,21 @@ def backproject_view(projection: jnp.ndarray,
     return volume, valid
 
 
-def accumulate_views(projections: jnp.ndarray,
-                     features: jnp.ndarray,
-                     view_valid: jnp.ndarray,
-                     voxel_dim: Sequence[int],
-                     voxel_size: float,
-                     origin: jnp.ndarray,
-                     accum_dtype=jnp.float32,
-                     view_chunk: int = 2
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Accumulate all views into a normalized feature volume.
+def accumulate_views_partial(projections: jnp.ndarray,
+                             features: jnp.ndarray,
+                             view_valid: jnp.ndarray,
+                             voxel_dim: Sequence[int],
+                             voxel_size: float,
+                             origin: jnp.ndarray,
+                             accum_dtype=jnp.float32,
+                             view_chunk: int = 2
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Unnormalized (volume sum, view count) accumulation over views.
 
-    Mirrors reference ``aggregate_2d_features`` + ``clear_3d_features``
-    (``ray_marching.py:220-257``): sum per-view volumes and view counts, then
-    volume /= count with count==0 -> 0.
+    The commutative-sum partial behind ``accumulate_views``: summing the
+    outputs over disjoint view subsets (or ``psum``-ing them across a
+    ``('view',)`` mesh axis — see ``accumulate_views_view_sharded``) and
+    then normalizing is exactly the full-view result.
 
     ``view_chunk`` views are summed per scan step before touching the fp32
     accumulator, dividing the accumulator's HBM read-modify-write traffic
@@ -98,14 +99,9 @@ def accumulate_views(projections: jnp.ndarray,
     by the chunk size.  Views are padded to a chunk multiple with invalid
     entries, which contribute nothing.
 
-    Args:
-        projections: [V, 3, 4] per-view projections (stride-adjusted).
-        features: [V, H, W, C].
-        view_valid: [V] bool — padded views contribute nothing.
-
     Returns:
-        volume: [X, Y, Z, C] mean feature volume (0 where unobserved),
-        valid: [X, Y, Z] bool (observed by >= 1 view).
+        vol_sum: [X, Y, Z, C] summed per-view volumes (accum_dtype),
+        count: [X, Y, Z] number of observing views (accum_dtype).
     """
     X, Y, Z = voxel_dim
     C = features.shape[-1]
@@ -142,6 +138,82 @@ def accumulate_views(projections: jnp.ndarray,
             jnp.zeros((X, Y, Z), accum_dtype))
     (vol, cnt), _ = jax.lax.scan(body, init,
                                  (projections, features, view_valid))
+    return vol.reshape(X, Y, Z, C), cnt
+
+
+def _normalize_volume(vol_sum: jnp.ndarray, cnt: jnp.ndarray, dtype
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     denom = jnp.where(cnt > 0, cnt, 1.0)
-    volume = vol.reshape(X, Y, Z, C) / denom[..., None]
-    return volume.astype(features.dtype), cnt > 0
+    return (vol_sum / denom[..., None]).astype(dtype), cnt > 0
+
+
+def accumulate_views(projections: jnp.ndarray,
+                     features: jnp.ndarray,
+                     view_valid: jnp.ndarray,
+                     voxel_dim: Sequence[int],
+                     voxel_size: float,
+                     origin: jnp.ndarray,
+                     accum_dtype=jnp.float32,
+                     view_chunk: int = 2
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Accumulate all views into a normalized feature volume.
+
+    Mirrors reference ``aggregate_2d_features`` + ``clear_3d_features``
+    (``ray_marching.py:220-257``): sum per-view volumes and view counts, then
+    volume /= count with count==0 -> 0.
+
+    Args:
+        projections: [V, 3, 4] per-view projections (stride-adjusted).
+        features: [V, H, W, C].
+        view_valid: [V] bool — padded views contribute nothing.
+
+    Returns:
+        volume: [X, Y, Z, C] mean feature volume (0 where unobserved),
+        valid: [X, Y, Z] bool (observed by >= 1 view).
+    """
+    vol, cnt = accumulate_views_partial(
+        projections, features, view_valid, voxel_dim, voxel_size, origin,
+        accum_dtype=accum_dtype, view_chunk=view_chunk)
+    return _normalize_volume(vol, cnt, features.dtype)
+
+
+def accumulate_views_view_sharded(mesh, projections: jnp.ndarray,
+                                  features: jnp.ndarray,
+                                  view_valid: jnp.ndarray,
+                                  voxel_dim: Sequence[int],
+                                  voxel_size: float,
+                                  origin: jnp.ndarray,
+                                  axis: str = "view"
+                                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """View-parallel volume accumulation (SURVEY.md §5 scaling plan).
+
+    Shards the view axis over ``mesh[axis]``: each device scan-accumulates
+    its view shard locally, then the (volume, count) partials combine with
+    ONE ``psum`` over ICI — the collective-friendly layout for scaling the
+    50-view accumulation across chips.  Numerically identical to
+    ``accumulate_views`` (the accumulator is a commutative fp32 sum).
+
+    Requires ``V % mesh.shape[axis] == 0`` (pad with invalid views).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from cnrma_tpu.parallel.mesh import view_psum_volume
+
+    V = features.shape[0]
+    n = mesh.shape[axis]
+    if V % n != 0:
+        raise ValueError(f"views ({V}) must divide the '{axis}' mesh axis "
+                         f"size ({n}); pad with invalid views")
+
+    def partial_fn(proj, feats, valid):
+        return accumulate_views_partial(proj, feats, valid, voxel_dim,
+                                        voxel_size, origin)
+
+    # check_vma off: the scan accumulator inits as a replicated zero but
+    # becomes device-varying through the per-shard views — by construction
+    # (commutative sum + psum) the combined result is replicated.
+    fn = jax.shard_map(view_psum_volume(partial_fn, axis_name=axis),
+                       mesh=mesh, in_specs=(P(axis), P(axis), P(axis)),
+                       out_specs=(P(), P()), check_vma=False)
+    vol, valid = fn(projections, features, view_valid)
+    return vol.astype(features.dtype), valid

@@ -148,7 +148,7 @@ def iou_bev_matrix(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
             (boxes2[:, 0] + boxes2[:, 3] / 2)[None, :])
         lo_y = jnp.maximum(
             (boxes1[:, 1] - boxes1[:, 4] / 2)[:, None],
-            (boxes2[:, 1] + -boxes2[:, 4] / 2)[None, :])
+            (boxes2[:, 1] - boxes2[:, 4] / 2)[None, :])
         hi_y = jnp.minimum(
             (boxes1[:, 1] + boxes1[:, 4] / 2)[:, None],
             (boxes2[:, 1] + boxes2[:, 4] / 2)[None, :])

@@ -6,9 +6,10 @@ H·W rays with 300 samples each, computes NeuS occupancy weights from the
 predicted TSDF, then compacts above-threshold samples with ``torch.nonzero``
 (dynamic shapes) into a per-view point list.  Here everything is static-shape:
 
-* per-view compaction uses a cumsum-position scatter into a fixed-capacity
-  buffer (order-preserving along rays; overflow beyond capacity is dropped,
-  the analog of the reference's later random 500k subsample);
+* per-view compaction is a weight-ranked top-``capacity`` selection into a
+  fixed buffer: under capacity it keeps exactly the above-threshold set
+  (like the reference); over capacity the highest-weight samples survive —
+  spatially unbiased, unlike a raster-order prefix;
 * each kept sample records (xyz, weight, u, v) — pixel features are gathered
   *after* the global subsample, so the 5.76M-sample intermediate never touches
   the 32-channel feature maps;
@@ -80,36 +81,25 @@ def _sample_tsdf(tsdf: jnp.ndarray, places: jnp.ndarray,
     return jnp.where(valid, vals, 1.0), valid
 
 
-def _compact(mask: jnp.ndarray, capacity: int, *arrays):
-    """Order-preserving static-shape compaction of masked rows.
+def _select_topk(weights: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """Weight-ranked static-shape selection of up to ``capacity`` samples.
 
-    Returns arrays of leading dim `capacity`; rows beyond the number of kept
-    entries stay at their fill value (0).
+    Returns [capacity] int32 indices into the flat weight vector, -1 for
+    empty slots.  When fewer than ``capacity`` weights are positive this is
+    exactly the positive set (unbiased — matches the reference's behavior of
+    keeping every above-threshold sample, ``fcaf3d_transforms.py:283-296``);
+    when over capacity the *highest-weight* samples survive, instead of a
+    raster-order prefix that would silently drop everything below a
+    horizontal image line.
     """
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    slot = jnp.where(mask & (pos < capacity), pos, capacity)
-    outs = []
-    for a in arrays:
-        buf = jnp.zeros((capacity,) + a.shape[1:], a.dtype)
-        outs.append(buf.at[slot].set(a, mode="drop"))
-    return outs
-
-
-def _compact_indices(mask: jnp.ndarray, capacity: int) -> jnp.ndarray:
-    """Order-preserving compaction emitting source indices only.
-
-    Scattering a single int32 per kept sample (instead of the full
-    xyz/weight/uv payload) keeps the 5.76M-element scatter narrow — the
-    payload is recomputed or gathered afterwards for just ``capacity``
-    rows.  Returns [capacity] int32 indices into the flat mask, -1 for
-    empty slots.
-    """
-    n = mask.shape[0]
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    slot = jnp.where(mask & (pos < capacity), pos, capacity)
-    buf = jnp.full((capacity,), -1, jnp.int32)
-    src = jnp.arange(n, dtype=jnp.int32)
-    return buf.at[slot].set(src, mode="drop")
+    n = weights.shape[0]
+    k = min(capacity, n)
+    vals, idx = jax.lax.top_k(weights, k)
+    sel = jnp.where(vals > 0, idx, -1).astype(jnp.int32)
+    if k < capacity:
+        sel = jnp.concatenate(
+            [sel, jnp.full((capacity - k,), -1, jnp.int32)])
+    return sel
 
 
 def neus_weights(tsdf_samples: jnp.ndarray) -> jnp.ndarray:
@@ -177,10 +167,11 @@ def ray_march_neus(projection: jnp.ndarray,
     ray_id = jax.lax.broadcasted_iota(jnp.int32, (HW, k_max), 0)
     flat_k = ray_id * n_samples + sk                     # original index
 
-    # compact the flat sample index only; rebuild the payload for the
-    # <= capacity survivors (xyz from the ray equation, uv from the pixel
-    # id, weight carried through top_k)
-    sel = _compact_indices(keep_k.reshape(-1), capacity)  # [cap] into HW*K
+    # weight-ranked selection of the flat sample index only; rebuild the
+    # payload for the <= capacity survivors (xyz from the ray equation, uv
+    # from the pixel id, weight carried through top_k)
+    w_flat = jnp.where(keep_k, wk, 0.0).reshape(-1)
+    sel = _select_topk(w_flat, capacity)                 # [cap] into HW*K
     ok = sel >= 0
     sel_c = jnp.where(ok, sel, 0)
     src = jnp.take(flat_k.reshape(-1), sel_c)            # index into HW*N
@@ -245,9 +236,9 @@ def ray_march_depth(projection: jnp.ndarray,
         sel_t = (best_index.astype(jnp.float32) + 0.5)[:, None] * t_one
         sel_w = best_weight[:, None]
 
-    # index-only compaction over the [HW, num] selection grid; payload
+    # weight-ranked index-only selection over the [HW, num] grid; payload
     # (position, weight, uv) is rebuilt for the survivors
-    sel = _compact_indices((sel_w > 0).reshape(-1), capacity)
+    sel = _select_topk(sel_w.reshape(-1), capacity)
     ok = sel >= 0
     sel_c = jnp.where(ok, sel, 0)
     pix = sel_c // num

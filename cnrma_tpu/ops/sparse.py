@@ -119,10 +119,8 @@ def kernel_offsets(kernel_size: int, dilation: int = 1) -> np.ndarray:
         r = range(-(kernel_size // 2), kernel_size // 2 + 1)
     else:
         r = range(0, kernel_size)
-    offs = [(x, y, z) for z in r for y in r for x in r]
-    # reorder so x varies fastest: generate with x innermost then transpose
-    offs = [(x, y, z) for z in r for y in r for x in r]
-    return np.array(offs, dtype=np.int32)[:, [0, 1, 2]] * dilation
+    offs = [(x, y, z) for z in r for y in r for x in r]  # x varies fastest
+    return np.array(offs, dtype=np.int32) * dilation
 
 
 def kernel_map(st: SparseTensor, offsets: np.ndarray,

@@ -58,9 +58,10 @@ def view_psum_volume(accumulate_fn, axis_name: str = "view"):
     """Wrap a per-shard volume accumulation so view shards combine by psum.
 
     ``accumulate_fn(proj_shard, feat_shard, valid_shard) ->
-    (vol_sum, count_sum)`` runs on each device's view shard inside
-    ``shard_map``; the returned closure produces the normalized global
-    volume.
+    (vol_sum [X,Y,Z,C], count_sum [X,Y,Z])`` runs on each device's view
+    shard inside ``shard_map``; the returned closure produces the
+    normalized global volume.  Wired into
+    ``ops.backproject.accumulate_views_view_sharded``.
     """
     def fn(proj, feats, valid):
         vol, cnt = accumulate_fn(proj, feats, valid)

@@ -111,6 +111,49 @@ class TestMarchingCubes:
         assert len(verts) == 0 and len(faces) == 0
 
 
+class TestTSDFFusion:
+    def test_two_frame_golden(self):
+        """Fuse two 1x1 depth maps down a single voxel column and compare
+        against a hand-computed volume following the reference integrate
+        rules (tsdf.py:436-446): near-surface (dist > -1) observations
+        average with weight; clamped free-space (dist == -1) observations
+        are weightless and read out as -1 only when nothing near-surface
+        was ever seen; occluded (dist >= 1) observations are skipped."""
+        import jax.numpy as jnp
+        from cnrma_tpu.geometry.tsdf_fusion import fuse_tsdf
+
+        # camera at origin looking down +z, 1x1 image, unit intrinsics:
+        # voxel (0,0,k*0.1) projects to pixel (0,0) with pz = k*0.1
+        proj = np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0]],
+                        np.float32)
+        projections = jnp.asarray(np.stack([proj, proj]))
+        depths = jnp.asarray(np.array([[[0.65]], [[0.45]]], np.float32))
+        tsdf, weight = fuse_tsdf(
+            depths, projections, jnp.ones(2, bool),
+            jnp.zeros(3, jnp.float32), (1, 1, 9), 0.1,
+            trunc_ratio=3.0, max_depth=3.0)
+        tsdf = np.asarray(tsdf).reshape(-1)
+        weight = np.asarray(weight).reshape(-1)
+        # hand-computed per z = 0.0 .. 0.8 (trunc margin 0.3):
+        #   frame A (d=0.65): dist = clamp((z-0.65)/0.3, -1)
+        #   frame B (d=0.45): dist = clamp((z-0.45)/0.3, -1); z=0.8 -> 1.17
+        #   occluded (skipped)
+        exp_tsdf = np.array([
+            1.0,        # z=0.0: pz=0, out of view -> unknown
+            -1.0,       # z=0.1: free in both frames -> -1, weight 0
+            -0.833333,  # z=0.2: A free, B near
+            -0.5,       # z=0.3: A free, B near
+            -0.5,       # z=0.4: mean(-0.8333, -0.1667)
+            -0.166667,  # z=0.5: mean(-0.5, 0.1667)
+            0.166667,   # z=0.6: mean(-0.1667, 0.5)
+            0.5,        # z=0.7: mean(0.1667, 0.8333)
+            0.5,        # z=0.8: A only (B occluded)
+        ], np.float32)
+        exp_weight = np.array([0, 0, 1, 1, 2, 2, 2, 2, 1], np.float32)
+        np.testing.assert_allclose(tsdf, exp_tsdf, atol=1e-5)
+        np.testing.assert_allclose(weight, exp_weight)
+
+
 class TestPLY:
     def test_roundtrip(self, tmp_path):
         verts = np.random.RandomState(0).rand(10, 3).astype(np.float32)

@@ -53,6 +53,41 @@ class TestBackproject:
         assert valid.any()
         np.testing.assert_allclose(vol[np.asarray(valid)], 3.0, atol=1e-5)
 
+    def test_view_sharded_matches_scan(self):
+        """accumulate_views_view_sharded over an 8-device ('view',) mesh
+        must equal the single-device scan path (the accumulator is a
+        commutative sum combined by one psum — SURVEY.md §5)."""
+        import jax
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from cnrma_tpu.ops.backproject import (
+            accumulate_views, accumulate_views_view_sharded)
+        from cnrma_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.RandomState(0)
+        V, H, W, C = 8, 6, 8, 4
+        dim = (5, 6, 7)
+        feats = jnp.asarray(rng.rand(V, H, W, C).astype(np.float32))
+        projs = []
+        for i in range(V):
+            K = np.array([[8.0, 0, W / 2], [0, 8.0, H / 2], [0, 0, 1]])
+            E = np.eye(4)
+            E[:3, 3] = [0.1 * i - 0.25, -0.1, -1.0]
+            projs.append((K @ np.linalg.inv(E)[:3]).astype(np.float32))
+        projs = jnp.asarray(np.stack(projs))
+        valid = jnp.asarray(np.array([True] * 6 + [False] * 2))
+        origin = jnp.zeros(3, jnp.float32)
+
+        ref_vol, ref_ok = accumulate_views(projs, feats, valid, dim, 0.2,
+                                           origin)
+        mesh = make_mesh(8, axis_names=("view",))
+        got_vol, got_ok = accumulate_views_view_sharded(
+            mesh, projs, feats, valid, dim, 0.2, origin)
+        np.testing.assert_allclose(np.asarray(got_vol),
+                                   np.asarray(ref_vol), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(got_ok),
+                                      np.asarray(ref_ok))
+
     def test_padded_view_ignored(self):
         H, W, C = 12, 16, 2
         proj = simple_projection()
@@ -165,6 +200,43 @@ class TestRayMarching:
         got_w = np.sort(np.asarray(pts.weight)[np.asarray(pts.weight) > 0])
         exp_w = np.sort(wref[keep_ref])
         np.testing.assert_allclose(got_w, exp_w, rtol=1e-5)
+
+    def test_ray_march_over_capacity_weight_ranked(self):
+        """When the above-threshold samples exceed capacity, the kept set
+        must be the top-``capacity`` BY WEIGHT — not a raster-order prefix
+        that drops everything below a horizontal image line (round-1 bias
+        bug; reference behavior is an unbiased random subsample,
+        fcaf3d_transforms.py:283-296)."""
+        n, vs = 16, 0.125
+        # random TSDF -> distinct per-sample weights (a uniform wall would
+        # tie every ray and make rank selection degenerate)
+        rng = np.random.RandomState(7)
+        tsdf = rng.rand(n, n, n).astype(np.float32) * 2 - 1
+        origin = jnp.array([-1.0, -0.75, 0.0])
+        proj = jnp.asarray(simple_projection())
+        h, w, cap = 12, 16, 64
+        # uncapped run to get the full above-threshold set
+        full = ray_march_neus(proj, jnp.asarray(tsdf, jnp.float32),
+                              (n, n, n), vs, origin, h, w, view_index=0,
+                              n_samples=64, weight_threshold=0.05,
+                              capacity=8192)
+        fw = np.asarray(full.weight)
+        n_above = int((fw > 0).sum())
+        assert n_above > cap, "test needs an over-capacity scene"
+        capped = ray_march_neus(proj, jnp.asarray(tsdf, jnp.float32),
+                                (n, n, n), vs, origin, h, w, view_index=0,
+                                n_samples=64, weight_threshold=0.05,
+                                capacity=cap)
+        cw = np.asarray(capped.weight)
+        assert int((cw > 0).sum()) == cap
+        # kept weights == the `cap` largest weights of the full set
+        np.testing.assert_allclose(
+            np.sort(cw[cw > 0]), np.sort(fw[fw > 0])[-cap:], rtol=1e-6)
+        # spatially unbiased: kept pixels span (nearly) the full image
+        # height — a raster prefix would stop at an early row
+        rows = np.asarray(capped.uv)[cw > 0][:, 1]
+        full_rows = np.asarray(full.uv)[fw > 0][:, 1]
+        assert rows.max() >= full_rows.max() - 1
 
     def test_ray_march_depth_wall(self):
         n, vs = 16, 0.125
