@@ -83,8 +83,9 @@ def write_ply_points(path: str, points: np.ndarray,
             f.write(points.astype("<f4").tobytes())
 
 
-def read_ply(path: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
-    """Read a PLY file (ascii or binary-LE) -> (vertices [N,3], faces [M,3] or None).
+def read_ply(path: str, return_colors: bool = False):
+    """Read a PLY file (ascii or binary-LE) -> (vertices [N,3], faces [M,3]
+    or None)[, colors [N,3] float or None when ``return_colors``].
 
     Supports the subset written by :func:`write_ply_mesh` plus common
     ascii/binary exports (extra float vertex properties are skipped).
@@ -120,7 +121,14 @@ def read_ply(path: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
            "int": ("i", 4), "int32": ("i", 4), "uint": ("I", 4),
            "short": ("h", 2), "ushort": ("H", 2)}
 
-    verts, faces = None, None
+    def _color_names(props):
+        names = [p[1] for p in props]
+        for trio in (("red", "green", "blue"), ("r", "g", "b")):
+            if all(t in names for t in trio):
+                return trio
+        return None
+
+    verts, faces, colors = None, None, None
     if fmt == "ascii":
         lines = body.decode("ascii").split("\n")
         li = 0
@@ -133,6 +141,13 @@ def read_ply(path: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
                 verts = np.array(
                     [[float(r[i]) for i in range(3)] for r in rows],
                     dtype=np.float32)
+                trio = _color_names(props)
+                if trio is not None:
+                    names = [p[1] for p in props]
+                    cix = [names.index(t) for t in trio]
+                    colors = np.array(
+                        [[float(r[i]) for i in cix] for r in rows],
+                        dtype=np.float32)
             elif name == "face":
                 faces = np.array([[int(v) for v in r[1:4]] for r in rows],
                                  dtype=np.int32)
@@ -147,6 +162,10 @@ def read_ply(path: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
                     count=count, offset=off)
                 verts = np.stack([arr["x"], arr["y"], arr["z"]],
                                  axis=1).astype(np.float32)
+                trio = _color_names(props)
+                if trio is not None:
+                    colors = np.stack([arr[t] for t in trio],
+                                      axis=1).astype(np.float32)
                 off += size * count
             elif name == "face":
                 lp = props[0]
@@ -160,4 +179,6 @@ def read_ply(path: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
                     off += idx_sz * k
                     out.append(vals[:3])
                 faces = np.array(out, dtype=np.int32)
+    if return_colors:
+        return verts, faces, colors
     return verts, faces
