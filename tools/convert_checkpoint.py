@@ -190,8 +190,8 @@ class Converter:
                           hprefix="detection_head."):
         det = ("detector",)
         bb = det + ("backbone",)
-        # stem: conv1.0 = MEConv, conv1.1 = InstanceNorm
-        self.me_kernel(sd, f"{bprefix}conv1.0", bb + ("stem", "conv"))
+        # stem: conv1.0 = MEConv, conv1.1 = InstanceNorm (scale/bias only)
+        self.me_kernel(sd, f"{bprefix}conv1.0", bb + ("stem",))
         if f"{bprefix}conv1.1.weight" in sd:
             set_in(self.params, bb + ("stem", "norm", "scale"),
                    sd[f"{bprefix}conv1.1.weight"])
@@ -203,12 +203,11 @@ class Converter:
                 base = f"{bprefix}layer{li + 1}.{b}"
                 dst = bb + (f"layer{li + 1}_block{b}",)
                 for conv, norm in (("conv1", "norm1"), ("conv2", "norm2")):
-                    self.me_kernel(sd, f"{base}.{conv}",
-                                   dst + (conv, "conv"))
+                    self.me_kernel(sd, f"{base}.{conv}", dst + (conv,))
                     self.plain_bn(sd, f"{base}.{norm}",
                                   dst + (conv, "norm"))
                 self.me_kernel(sd, f"{base}.downsample.0",
-                               dst + ("downsample", "conv"))
+                               dst + ("downsample",))
                 self.plain_bn(sd, f"{base}.downsample.1.bn",
                               dst + ("downsample", "norm")) or \
                     self.plain_bn(sd, f"{base}.downsample.1",
@@ -219,12 +218,12 @@ class Converter:
             dst = head + (f"up_block_{i}",)
             self.me_kernel(sd, f"{base}.0", dst, name="up_kernel")
             self.plain_bn(sd, f"{base}.1.bn", dst + ("norm1",))
-            self.me_kernel(sd, f"{base}.3", dst + ("conv", "conv"))
+            self.me_kernel(sd, f"{base}.3", dst + ("conv",))
             self.plain_bn(sd, f"{base}.4.bn", dst + ("conv", "norm"))
         for i in range(4):
             base = f"{hprefix}out_block_{i}"
             dst = head + (f"out_block_{i}",)
-            self.me_kernel(sd, f"{base}.0", dst + ("conv",))
+            self.me_kernel(sd, f"{base}.0", dst)
             self.plain_bn(sd, f"{base}.1.bn", dst + ("norm",))
         for name in ("centerness_conv", "reg_conv", "cls_conv"):
             self.me_kernel(sd, f"{hprefix}{name}", head, name=name)
@@ -288,7 +287,11 @@ def main():
 
 
 def self_test():
-    """Validate the mapping covers our 2D tower tree (names + shapes)."""
+    """Validate the FULL mapping (2D tower, fuse, U-Net, TSDF head,
+    detector) against freshly initialized model subtrees: for every one of
+    our parameters, a synthetically named torch entry is emitted via the
+    INVERSE mapping, converted back, and compared name-by-name/value-by-
+    value in both directions (missing or extra keys fail)."""
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
     import jax.numpy as jnp
@@ -336,18 +339,148 @@ def self_test():
             put_convbn(f"feature_2d.{name}.{k * 2}",
                        fuse[f"{name}_head{k}"], sfuse[f"{name}_head{k}"])
 
+    # ---- 3D U-Net + TSDF head ------------------------------------------
+    from cnrma_tpu.models.tsdf_head import TSDFHead
+    from cnrma_tpu.models.unet3d import UNet3D
+
+    unet = UNet3D()
+    vu = unet.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 8, 32)),
+                   train=False)
+    pu, su = vu["params"], vu["batch_stats"]
+
+    def put_convbn3d(src, p, s):
+        k = np.asarray(p["conv"]["kernel"])
+        sd[f"{src}.weight"] = np.transpose(k, (4, 3, 0, 1, 2))
+        sd[f"{src}.norm.weight"] = np.asarray(p["norm"]["scale"])
+        sd[f"{src}.norm.bias"] = np.asarray(p["norm"]["bias"])
+        sd[f"{src}.norm.running_mean"] = np.asarray(s["norm"]["mean"])
+        sd[f"{src}.norm.running_var"] = np.asarray(s["norm"]["var"])
+
+    def put_plainbn(src, p, s):
+        sd[f"{src}.weight"] = np.asarray(p["scale"])
+        sd[f"{src}.bias"] = np.asarray(p["bias"])
+        sd[f"{src}.running_mean"] = np.asarray(s["mean"])
+        sd[f"{src}.running_var"] = np.asarray(s["var"])
+
+    def put_conv3d(src, kernel):
+        sd[f"{src}.weight"] = np.transpose(np.asarray(kernel),
+                                           (4, 3, 0, 1, 2))
+
+    def put_block(src, name):
+        put_convbn3d(f"{src}.conv1", pu[name]["conv1"], su[name]["conv1"])
+        put_conv3d(f"{src}.conv2", pu[name]["conv2"]["kernel"])
+        put_plainbn(f"{src}.bn2", pu[name]["bn2"], su[name]["bn2"])
+
+    layers_down, layers_up = [1, 2, 3, 4], [3, 2, 1]
+    for b in range(layers_down[0]):
+        put_block(f"backbone3d.layers_down.0.{b}", f"down0_block{b}")
+    for i in range(1, 4):
+        put_conv3d(f"backbone3d.layers_down.{i}.0",
+                   pu[f"down{i}_stride"]["conv"]["kernel"])
+        put_plainbn(f"backbone3d.layers_down.{i}.1",
+                    pu[f"down{i}_stride"]["norm"],
+                    su[f"down{i}_stride"]["norm"])
+        for b in range(layers_down[i]):
+            put_block(f"backbone3d.layers_down.{i}.{4 + b}",
+                      f"down{i}_block{b}")
+    for i in range(3):
+        put_conv3d(f"backbone3d.layers_up_conv.{i}",
+                   pu[f"up{i + 1}_conv"]["kernel"])
+        put_conv3d(f"backbone3d.proj.{i}.conv",
+                   pu[f"up{i + 1}_proj"]["kernel"])
+        put_plainbn(f"backbone3d.proj.{i}.norm",
+                    pu[f"up{i + 1}_proj_norm"], su[f"up{i + 1}_proj_norm"])
+        for b in range(layers_up[i]):
+            put_block(f"backbone3d.layers_up_res.{i}.{b}",
+                      f"up{i + 1}_block{b}")
+
+    head_model = TSDFHead(voxel_size=0.04, n_scales=3)
+    xs = [jnp.zeros((1, 4, 4, 2, 128)), jnp.zeros((1, 8, 8, 4, 64)),
+          jnp.zeros((1, 16, 16, 8, 32))]
+    vt = head_model.init(jax.random.PRNGKey(2), xs, None)
+    pt = vt["params"]
+    for i in range(3):
+        put_conv3d(f"tsdf_head.decoders.{i}", pt[f"decoder{i}"]["kernel"])
+
+    # ---- sparse detector -----------------------------------------------
+    from cnrma_tpu.models.fcaf3d import DetectionCapacities, FCAF3DDetector
+
+    det = FCAF3DDetector(
+        n_classes=6, n_reg_outs=6, voxel_size=0.04, pts_threshold=2000,
+        assigner_limit=3, assigner_topk=6, with_yaw=False, nms_pre=64,
+        capacities=DetectionCapacities.tiny())
+    rng = np.random.RandomState(0)
+    vd = det.init({"params": jax.random.PRNGKey(3)},
+                  jnp.asarray(rng.rand(1, 512, 3), jnp.float32),
+                  jnp.asarray(rng.rand(1, 512, 32), jnp.float32),
+                  jnp.ones((1, 512), bool), train=False)
+    pd, sdt = vd["params"], vd["batch_stats"]
+
+    def put_me(src, kernel):
+        k = np.asarray(kernel)
+        # ME stores 1x1 kernels as [Cin,Cout]
+        sd[f"{src}.kernel"] = k[0] if k.shape[0] == 1 else k
+
+    bbp, bbs = pd["backbone"], sdt["backbone"]
+    put_me("detection_backbone.conv1.0", bbp["stem"]["kernel"])
+    sd["detection_backbone.conv1.1.weight"] = np.asarray(
+        bbp["stem"]["norm"]["scale"])
+    sd["detection_backbone.conv1.1.bias"] = np.asarray(
+        bbp["stem"]["norm"]["bias"])
+    for li, n in enumerate([3, 4, 6, 3]):
+        for b in range(n):
+            name = f"layer{li + 1}_block{b}"
+            if name not in bbp:
+                continue
+            blk, sblk = bbp[name], bbs[name]
+            base = f"detection_backbone.layer{li + 1}.{b}"
+            for conv, norm in (("conv1", "norm1"), ("conv2", "norm2")):
+                put_me(f"{base}.{conv}", blk[conv]["kernel"])
+                put_plainbn(f"{base}.{norm}", blk[conv]["norm"],
+                            sblk[conv]["norm"])
+            if "downsample" in blk:
+                put_me(f"{base}.downsample.0",
+                       blk["downsample"]["kernel"])
+                put_plainbn(f"{base}.downsample.1.bn",
+                            blk["downsample"]["norm"],
+                            sblk["downsample"]["norm"])
+    hp, hs = pd["head"], sdt["head"]
+    for i in range(1, 4):
+        base = f"detection_head.up_block_{i}"
+        blk, sblk = hp[f"up_block_{i}"], hs[f"up_block_{i}"]
+        put_me(f"{base}.0", blk["up_kernel"])
+        put_plainbn(f"{base}.1.bn", blk["norm1"], sblk["norm1"])
+        put_me(f"{base}.3", blk["conv"]["kernel"])
+        put_plainbn(f"{base}.4.bn", blk["conv"]["norm"],
+                    sblk["conv"]["norm"])
+    for i in range(4):
+        base = f"detection_head.out_block_{i}"
+        blk, sblk = hp[f"out_block_{i}"], hs[f"out_block_{i}"]
+        put_me(f"{base}.0", blk["kernel"])
+        put_plainbn(f"{base}.1.bn", blk["norm"], sblk["norm"])
+    for name in ("centerness_conv", "reg_conv"):
+        put_me(f"detection_head.{name}", hp[name])
+    put_me("detection_head.cls_conv", hp["cls_conv"])
+    sd["detection_head.cls_conv.bias"] = np.asarray(hp["cls_bias"])
+    for i in range(4):
+        sd[f"detection_head.scales.{i}.scale"] = np.asarray(
+            hp[f"scale_{i}"]).reshape(1)
+
     params, bstats = convert_state_dict(sd)
 
-    def compare(ours, converted, path=""):
+    def compare(ours, converted, path="", direction="MISSING"):
         ok = True
         for key in ours:
             if key not in converted:
-                print("MISSING", path + "/" + key)
+                print(direction, path + "/" + key)
                 ok = False
                 continue
             a, b = ours[key], converted[key]
-            if isinstance(a, dict):
-                ok &= compare(a, b, path + "/" + key)
+            if isinstance(a, dict) != isinstance(b, dict):
+                print("TYPE", path + "/" + key)
+                ok = False
+            elif isinstance(a, dict):
+                ok &= compare(a, b, path + "/" + key, direction)
             else:
                 if np.asarray(a).shape != np.asarray(b).shape:
                     print("SHAPE", path + "/" + key,
@@ -358,13 +491,23 @@ def self_test():
                     ok = False
         return ok
 
-    ours_tower = {"resnet": v["params"]["resnet"],
-                  "fpn": v["params"]["fpn"],
-                  "fuse": v["params"]["fuse"]}
-    assert compare(ours_tower, params["tower2d"]), "param mismatch"
-    ours_stats = {"resnet": stats, "fpn": sfpn, "fuse": sfuse}
-    assert compare(ours_stats, bstats["tower2d"]), "stats mismatch"
-    print("convert_checkpoint self-test: 2D tower mapping OK")
+    def check(label, ours, converted):
+        fwd = compare(ours, converted, label)
+        rev = compare(converted, ours, label, direction="EXTRA")
+        assert fwd and rev, f"{label} mapping mismatch"
+        print(f"convert_checkpoint self-test: {label} OK")
+
+    check("tower2d.params",
+          {"resnet": v["params"]["resnet"], "fpn": v["params"]["fpn"],
+           "fuse": v["params"]["fuse"]}, params["tower2d"])
+    check("tower2d.stats", {"resnet": stats, "fpn": sfpn, "fuse": sfuse},
+          bstats["tower2d"])
+    check("backbone3d.params", pu, params["backbone3d"])
+    check("backbone3d.stats", su, bstats["backbone3d"])
+    check("tsdf_head.params", pt, params["tsdf_head"])
+    check("detector.params", pd, params["detector"])
+    check("detector.stats", sdt, bstats["detector"])
+    print("convert_checkpoint self-test: ALL subtrees OK")
 
 
 if __name__ == "__main__":
