@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import Any, Mapping, Optional
 
+import jax.numpy as jnp
+
 from cnrma_tpu.core.registry import DATASETS, build_from_cfg
 from cnrma_tpu.models.cn_rma import CNRMA, Atlas
 from cnrma_tpu.models.fcaf3d import DetectionCapacities
@@ -61,6 +63,9 @@ def build_model(cfg, mode: str = "train"):
         backbone2d_stride=m.get("backbone2d_stride", 4),
         feature_dim=m.get("feature_2d", {}).get("output_dim", 32),
         loss_weight_recon=m.get("loss_weight_recon", 1.0),
+        # TPU-only extension knob: 'bfloat16' runs the conv/matmul compute
+        # path in bf16 (fp32 losses/norm stats); default matches reference
+        compute_dtype=getattr(jnp, m.get("compute_dtype", "float32")),
     )
     # ``use_batchnorm_train/test`` (reference ray_marching.py:474-483) pick
     # joint-batch vs per-frame 2D backbone execution to control BN batch

@@ -192,7 +192,8 @@ class CNRMA(nn.Module):
                 assigner_limit=self.assigner_limit,
                 assigner_topk=self.assigner_topk,
                 with_yaw=self.with_yaw, nms_pre=self.nms_pre,
-                capacities=self.capacities)
+                capacities=self.capacities,
+                compute_dtype=self.compute_dtype)
 
     # ------------------------------------------------------------------
     def normalize_images(self, imgs: jnp.ndarray) -> jnp.ndarray:

@@ -342,6 +342,9 @@ class FCAF3DDetector(nn.Module):
     loss_weights: Tuple[float, float, float] = (1.0, 1.0, 1.0)  # ctr/bbox/cls
     nms_pre: int = 1000
     capacities: DetectionCapacities = DetectionCapacities()
+    # dtype of the sparse conv stack (gathers + MXU matmuls); fp32
+    # accumulation, normalization statistics and all head/box math stay fp32
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, feats: jnp.ndarray,
@@ -350,7 +353,7 @@ class FCAF3DDetector(nn.Module):
         """points [B, P, 3] metric; feats [B, P, C]; valid [B, P]."""
         st = jax.vmap(lambda p, f, v: sp.voxelize_points(
             p, f, v, self.voxel_size, self.capacities.voxelize))(
-            points, feats, point_valid)
+            points, feats.astype(self.compute_dtype), point_valid)
         backbone_outs = FCAF3DBackboneNet(
             depth=self.depth, capacities=self.capacities,
             name="backbone")(st, train)

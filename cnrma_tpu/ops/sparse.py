@@ -88,7 +88,10 @@ def voxelize_points(points: jnp.ndarray, feats: jnp.ndarray,
     out_keys, run_id, _ = unique_sorted(keys_sorted, capacity)
     c = feats.shape[-1]
     if reduce == "mean":
-        sums = jax.ops.segment_sum(feats_s, run_id, num_segments=capacity + 1)
+        # accumulate in fp32 regardless of the feature dtype (bf16 features
+        # lose mantissa over long duplicate runs)
+        sums = jax.ops.segment_sum(feats_s.astype(jnp.float32), run_id,
+                                   num_segments=capacity + 1)
         cnts = jax.ops.segment_sum(
             jnp.ones((keys.shape[0],), jnp.float32), run_id,
             num_segments=capacity + 1)
@@ -261,7 +264,9 @@ def generative_transpose_conv(st: SparseTensor, weights: jnp.ndarray
     every input voxel emits its 8 stride/2 children with per-child weights.
 
     Output capacity is 8x the input capacity; children of distinct parents
-    are distinct so no dedup is needed.
+    are distinct so no dedup is needed (children of different parents can
+    interleave in key order — z-adjacent parents are only ``stride`` apart
+    in key space — so a real sort is required).
     """
     assert st.stride % 2 == 0, "cannot upsample a stride-1 tensor"
     child_stride = st.stride // 2
@@ -336,17 +341,13 @@ def interpolate_at(st: SparseTensor, positions: jnp.ndarray,
     corners = jnp.asarray(
         [(dx, dy, dz) for dz in (0, 1) for dy in (0, 1)
          for dx in (0, 1)], jnp.float32)                         # [8,3]
-    st_keys, st_feats, grid, valid = st.keys, st.feats, st.grid, pos_valid
-
-    def body(acc, d):
-        w = jnp.prod(jnp.where(d[None, :] > 0, frac, 1 - frac), axis=1)
-        coord = ((p0 + d[None, :]) * s).astype(jnp.int32)
-        keys = jnp.where(valid, grid.pack(coord), SENTINEL_KEY)
-        idx, found = lookup(st_keys, keys)
-        g = jnp.take(st_feats, idx, axis=0).astype(jnp.float32)
-        return acc + g * (w * found)[:, None], None
-
-    acc, _ = jax.lax.scan(
-        body, jnp.zeros((positions.shape[0], st.num_channels),
-                        jnp.float32), corners)
-    return acc
+    # all 8 corner lookups in ONE batched searchsorted (8 sequential
+    # bisections would serialize ~8x log(N) gather rounds)
+    w = jnp.prod(jnp.where(corners[:, None, :] > 0, frac[None, :, :],
+                           1 - frac[None, :, :]), axis=-1)       # [8,Q]
+    coord = ((p0[None, :, :] + corners[:, None, :]) * s).astype(jnp.int32)
+    keys = jnp.where(pos_valid[None, :], st.grid.pack(coord), SENTINEL_KEY)
+    idx, found = lookup(st.keys, keys.reshape(-1))               # [8Q]
+    g = jnp.take(st.feats, idx, axis=0).astype(jnp.float32)
+    g = g.reshape(8, positions.shape[0], st.num_channels)
+    return jnp.sum(g * (w * found.reshape(w.shape))[..., None], axis=0)

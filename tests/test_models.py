@@ -222,6 +222,29 @@ class TestFCAF3DDetector:
         assert scores.shape[2] == 4
         assert bboxes.shape[1] == scores.shape[1] == bvalid.shape[1]
 
+    def test_bf16_compute_close_to_f32(self):
+        """compute_dtype=bfloat16 runs the sparse stack in bf16 (MXU fast
+        path) but must track the fp32 result closely: fp32 accumulation,
+        fp32 norm statistics, fp32 head math."""
+        kw = dict(n_classes=4, n_reg_outs=6, voxel_size=0.05,
+                  pts_threshold=1000, assigner_limit=3, assigner_topk=4,
+                  nms_pre=32, capacities=DetectionCapacities.tiny())
+        det32 = FCAF3DDetector(**kw)
+        det16 = FCAF3DDetector(compute_dtype=jnp.bfloat16, **kw)
+        pts, feats, valid = self._toy_scene(jax.random.PRNGKey(3))
+        vars_ = det32.init(jax.random.PRNGKey(1), pts, feats, valid,
+                           train=False)
+        o32 = det32.apply(vars_, pts, feats, valid, train=False)
+        o16 = det16.apply(vars_, pts, feats, valid, train=False)
+        for a, b in zip(o32, o16):
+            assert a.cls_scores.dtype == b.cls_scores.dtype == jnp.float32
+            np.testing.assert_array_equal(np.asarray(a.valid),
+                                          np.asarray(b.valid))
+            m = np.asarray(a.valid)
+            d = np.abs(np.asarray(a.cls_scores) - np.asarray(b.cls_scores))
+            scale = max(1.0, float(np.abs(np.asarray(a.cls_scores)).max()))
+            assert d[m].max() / scale < 0.08, d[m].max()
+
     def test_train_mode_grads_finite(self):
         det = FCAF3DDetector(n_classes=2, n_reg_outs=6, voxel_size=0.05,
                              pts_threshold=500, assigner_limit=2,
