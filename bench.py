@@ -103,8 +103,11 @@ def run(scale: str):
     model, batch = build_bench(scale)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     rng = jax.random.PRNGKey(0)
-    variables = model.init({"params": rng, "sample": rng}, batch,
-                           train=False)
+    # jit the init: eager init dispatches thousands of ops (and compiles
+    # every lax.map/scan separately) through the remote tunnel; one jitted
+    # compile is cached persistently across runs
+    variables = jax.jit(lambda: model.init(
+        {"params": rng, "sample": rng}, batch, train=False))()
 
     @jax.jit
     def forward(variables, batch):

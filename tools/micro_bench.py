@@ -125,6 +125,120 @@ def main():
         dt = timeit(f2, keys, vals)
         results["sort_keys"] = (dt, f"N={N}")
 
+    if "gathervar" in names:
+        # TSDF-sampling gather variants: the ray-march wall is 5.76M scalar
+        # gathers per view.  Compare formulations.
+        M = 192 * 192 * 80
+        N = 120 * 160 * 300
+        table32 = jnp.asarray(rng.rand(M).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, M, size=N).astype(np.int32))
+        cases = {}
+        cases["flat_f32"] = (jax.jit(lambda t, i: jnp.take(t, i)),
+                             table32, idx)
+        cases["flat_bf16"] = (jax.jit(lambda t, i: jnp.take(t, i)),
+                              table32.astype(jnp.bfloat16), idx)
+        cases["flat_i8"] = (jax.jit(lambda t, i: jnp.take(t, i)),
+                            (table32 * 127).astype(jnp.int8), idx)
+        # row gather of the 128-lane row + one-hot lane select via VPU
+        Mr = (M + 127) // 128
+        t2 = jnp.asarray(rng.rand(Mr, 128).astype(np.float32))
+
+        def row_onehot(t2, i):
+            row = i >> 7
+            lane = i & 127
+            g = jnp.take(t2, row, axis=0)                       # [N,128]
+            oh = (jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)
+                  == lane[:, None])
+            return jnp.sum(jnp.where(oh, g, 0.0), axis=1)
+        cases["row_onehot"] = (jax.jit(row_onehot), t2, idx)
+        # sorted gather: sort indices, gather coherently, unsort
+        def sorted_take(t, i):
+            order = jnp.argsort(i)
+            si = jnp.take(i, order)
+            g = jnp.take(t, si)
+            return jnp.zeros_like(g).at[order].set(g)
+        cases["sorted_f32"] = (jax.jit(sorted_take), table32, idx)
+        for nm, (f, *a) in cases.items():
+            dt = timeit(f, *a)
+            results[f"gather_{nm}"] = (dt, f"{N / dt / 1e9:.3f} Gelem/s")
+
+    if "lookup" in names:
+        # sparse kernel-map: search 27*N neighbor keys in N sorted keys,
+        # bisection ('scan') vs sort-based method, at detection-stack sizes
+        for N in (8192, 32768, 131072, 262144):
+            keys = jnp.asarray(np.sort(
+                rng.choice(1 << 28, N, replace=False)).astype(np.int32))
+            q = jnp.asarray(rng.randint(0, 1 << 28,
+                                        27 * N).astype(np.int32))
+            for method in ("scan", "sort"):
+                f = jax.jit(lambda k, q, m=method: jnp.searchsorted(
+                    k, q, method=m))
+                dt = timeit(f, keys, q)
+                results[f"lookup_{method}_{N}"] = (
+                    dt, f"27N={27 * N} queries")
+
+    if "spconv" in names:
+        # one sparse conv: 27x ([N,Cin] row-gather + matmul) scan vs
+        # gather-once [N,27*Cin] @ [27*Cin,Cout] single matmul
+        import functools
+        for N, Cin, Cout in ((8192, 64, 64), (32768, 64, 64),
+                             (98304, 64, 128), (32768, 256, 256)):
+            feats = jnp.asarray(rng.rand(N, Cin).astype(np.float32))
+            w = jnp.asarray(
+                (rng.rand(27, Cin, Cout) * .01).astype(np.float32))
+            idx = jnp.asarray(rng.randint(0, N, (27, N)).astype(np.int32))
+            fnd = jnp.asarray(rng.rand(27, N) < 0.6)
+
+            def scan_conv(feats, w, idx, fnd):
+                def body(acc, inp):
+                    wk, ik, fk = inp
+                    g = jnp.take(feats, ik, axis=0)
+                    g = jnp.where(fk[:, None], g, 0.0)
+                    return acc + jnp.dot(
+                        g, wk, preferred_element_type=jnp.float32), None
+                acc, _ = jax.lax.scan(
+                    body, jnp.zeros((N, Cout), jnp.float32),
+                    (w, idx, fnd))
+                return acc
+
+            def big_conv(feats, w, idx, fnd):
+                g = jnp.take(feats, idx.reshape(-1), axis=0)       # [27N,C]
+                g = jnp.where(fnd.reshape(-1)[:, None], g, 0.0)
+                g = g.reshape(27, N, Cin).transpose(1, 0, 2).reshape(
+                    N, 27 * Cin)
+                return jnp.dot(g, w.reshape(27 * Cin, Cout),
+                               preferred_element_type=jnp.float32)
+
+            for nm, fn in (("scan", scan_conv), ("big", big_conv)):
+                for dt_ in ("f32", "bf16"):
+                    ff = feats if dt_ == "f32" else feats.astype(
+                        jnp.bfloat16)
+                    ww = w if dt_ == "f32" else w.astype(jnp.bfloat16)
+                    fj = jax.jit(fn)
+                    t = timeit(fj, ff, ww, idx, fnd)
+                    flops = 2 * 27 * N * Cin * Cout
+                    results[f"spconv_{nm}_{dt_}_{N}x{Cin}x{Cout}"] = (
+                        t, f"{flops / t / 1e12:.1f} TFLOP/s")
+
+    if "gentrans" in names:
+        # generative transpose: [N,Cin]@[Cin,8Cout] + sort of 8N keys with
+        # [8N,Cout] payload rows
+        from cnrma_tpu.ops.voxelize import sort_by_key
+        for N, Cin, Cout in ((2048, 512, 256), (16384, 128, 64)):
+            feats = jnp.asarray(rng.rand(N, Cin).astype(np.float32))
+            w = jnp.asarray(
+                (rng.rand(Cin, 8 * Cout) * .01).astype(np.float32))
+            keys = jnp.asarray(
+                rng.randint(0, 1 << 28, 8 * N).astype(np.int32))
+
+            def f(feats, w, keys):
+                out = jnp.dot(feats, w).reshape(8 * N, Cout)
+                ks, fs = sort_by_key(keys, out)
+                return ks, fs
+            fj = jax.jit(f)
+            t = timeit(fj, feats, w, keys)
+            results[f"gentrans_{N}x{Cin}x{Cout}"] = (t, f"8N={8 * N}")
+
     if "conv3d" in names:
         x = jnp.asarray(rng.rand(1, 256, 256, 96, 32).astype(np.float32))
         w = jnp.asarray(rng.rand(3, 3, 3, 32, 32).astype(np.float32) * .01)

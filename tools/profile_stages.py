@@ -41,8 +41,13 @@ def main():
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     rng = jax.random.PRNGKey(0)
     print(f"devices: {jax.devices()}", flush=True)
-    variables = model.init({"params": rng, "sample": rng}, batch,
-                           train=False)
+    t0 = time.perf_counter()
+    # jitted init: one cached compile instead of eager per-op dispatch
+    variables = jax.jit(lambda: model.init(
+        {"params": rng, "sample": rng}, batch, train=False))()
+    from cnrma_tpu.utils.profiling import force_ready as _fr
+    _fr(variables)
+    print(f"init: {time.perf_counter() - t0:.1f}s", flush=True)
 
     # ---- stage functions (bound methods via Module.apply method=...) ----
     def f_tower(vars_, batch_):

@@ -73,8 +73,8 @@ def main():
 
     sample = device_batch(next(iter(loader)))
     rng = jax.random.PRNGKey(args.seed)
-    variables = model.init({"params": rng, "sample": rng}, sample,
-                           train=False)
+    variables = jax.jit(lambda: model.init(
+        {"params": rng, "sample": rng}, sample, train=False))()
     if args.checkpoint:
         import optax
         state = TrainState.create(variables["params"],

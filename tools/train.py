@@ -85,8 +85,11 @@ def main():
     sample = device_batch(next(iter(
         SceneLoader(dataset, batch_size=batch_size, num_workers=1))))
     rng = jax.random.PRNGKey(args.seed)
-    variables = model.init({"params": rng, "sample": rng, "aug": rng},
-                           sample, train=False)
+    # jitted init: one compile (persistently cached) instead of eager
+    # per-op dispatch through the whole pipeline trace
+    variables = jax.jit(lambda: model.init(
+        {"params": rng, "sample": rng, "aug": rng}, sample,
+        train=False))()
     tx = build_optimizer(cfg.optimizer, lr_schedule, grad_clip=clip,
                          params=variables["params"],
                          frozen_prefixes=FROZEN_PREFIXES_FREEZE_AT_2)
