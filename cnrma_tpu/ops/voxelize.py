@@ -96,15 +96,13 @@ def lookup(keys_sorted: jnp.ndarray, queries: jnp.ndarray
     Returns (idx clipped to [0, N-1], found bool).  Sentinel queries are
     never "found" (sentinel==sentinel hits are masked out).
 
-    Method choice is a measured TPU tradeoff: the bisection ('scan')
-    search costs ~log2(N) serialized HBM gather rounds over all queries
-    (99 ms for 27x262k queries on v5e), while the sort-based method rides
-    the fast on-chip sorter (7M-element sort = 8 ms); above ~1M queries
-    the sort path wins despite its larger compile.
+    Always uses the sort-based searchsorted: the bisection ('scan') method
+    serializes ~log2(N) HBM gather rounds and measured 3-8x slower at
+    EVERY kernel-map size on v5e (27x8k queries: 29 ms scan vs 9 ms sort;
+    27x262k: 970 ms vs 119 ms — tools/micro_bench.py 'lookup').
     """
     n = keys_sorted.shape[0]
-    method = "sort" if queries.size >= (1 << 20) else "scan"
-    idx = jnp.searchsorted(keys_sorted, queries, method=method)
+    idx = jnp.searchsorted(keys_sorted, queries, method="sort")
     idx = jnp.clip(idx, 0, n - 1).astype(jnp.int32)
     found = (jnp.take(keys_sorted, idx) == queries) & (queries != SENTINEL_KEY)
     return idx, found

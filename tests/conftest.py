@@ -21,3 +21,9 @@ import jax  # noqa: E402
 # unit test compiles through the network tunnel.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persist compiled executables across test runs: model compiles dominate
+# the suite's wall clock; a warm cache cuts reruns from ~20 min to ~2.
+from cnrma_tpu.utils.comp_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(min_compile_secs=5.0)

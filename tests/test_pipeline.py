@@ -55,12 +55,20 @@ def tiny_model(detection=True, batch=1):
     return model, batch_d
 
 
+@pytest.fixture(scope="module")
+def cnrma_setup():
+    """One shared init of the tiny CNRMA (the trace is the slow part)."""
+    model, batch = tiny_model()
+    rng = jax.random.PRNGKey(0)
+    vars_ = jax.jit(lambda: model.init(
+        {"params": rng, "sample": rng, "aug": rng}, batch, train=False))()
+    return model, batch, vars_
+
+
 class TestCNRMAForward:
-    def test_forward_test_outputs(self):
-        model, batch = tiny_model()
+    def test_forward_test_outputs(self, cnrma_setup):
+        model, batch, vars_ = cnrma_setup
         rng = jax.random.PRNGKey(0)
-        vars_ = model.init({"params": rng, "sample": rng}, batch,
-                           train=False)
         out = model.apply(vars_, batch, train=False,
                           rngs={"sample": rng})
         assert set(out["tsdf"]) == {"scene_tsdf_010", "scene_tsdf_020",
@@ -71,11 +79,9 @@ class TestCNRMAForward:
         for k, v in out["losses"].items():
             assert np.isfinite(float(v)), k
 
-    def test_forward_train_losses_and_grads(self):
-        model, batch = tiny_model()
+    def test_forward_train_losses_and_grads(self, cnrma_setup):
+        model, batch, vars_ = cnrma_setup
         rng = jax.random.PRNGKey(1)
-        vars_ = model.init({"params": rng, "sample": rng, "aug": rng},
-                           batch, train=False)
 
         def loss_fn(params):
             out, _ = model.apply(
@@ -93,18 +99,18 @@ class TestCNRMAForward:
         g2d = jax.tree_util.tree_leaves(grads["tower2d"])
         assert any(np.abs(np.asarray(g)).sum() > 0 for g in g2d)
 
-    def test_atlas_recon_only(self):
+    def test_atlas_recon_only(self, cnrma_setup):
         model, batch = tiny_model(detection=False)
         rng = jax.random.PRNGKey(0)
-        vars_ = model.init({"params": rng}, batch, train=False)
+        vars_ = jax.jit(lambda: model.init(
+            {"params": rng}, batch, train=False))()
         out = model.apply(vars_, batch, train=False)
         assert "bboxes" not in out
         assert set(out["losses"]) == {"tsdf_loss_010", "tsdf_loss_020",
                                       "tsdf_loss_040"}
-        # Atlas params are a subset of CNRMA params (stage transfer)
-        full, _ = tiny_model()
-        fv = full.init({"params": rng, "sample": rng}, batch,
-                       train=False)
+        # Atlas params are a subset of CNRMA params (stage transfer) —
+        # compare against the shared full-model init
+        _, _, fv = cnrma_setup
         for key in vars_["params"]:
             assert key in fv["params"]
 
@@ -122,8 +128,9 @@ class TestMultiDevice:
         mesh = make_mesh(n)
         model, batch = tiny_model(batch=n)
         rng = jax.random.PRNGKey(0)
-        vars_ = model.init({"params": rng, "sample": rng, "aug": rng},
-                           batch, train=False)
+        vars_ = jax.jit(lambda: model.init(
+            {"params": rng, "sample": rng, "aug": rng}, batch,
+            train=False))()
         tx = optax.adamw(1e-3)
         state = TrainState.create(vars_["params"], vars_["batch_stats"],
                                   tx)

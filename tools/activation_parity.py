@@ -41,6 +41,10 @@ def _stub_mm_modules():
     import under plain torch."""
     class _Registry:
         def register_module(self, *a, **k):
+            # handles both @REG.register_module and @REG.register_module()
+            if a and isinstance(a[0], type):
+                return a[0]
+
             def deco(cls):
                 return cls
             return deco
@@ -66,10 +70,26 @@ def _stub_mm_modules():
     sys.modules.setdefault("mmdet.models", mmodels)
 
 
+def _stub_reference_packages(ref_path: str):
+    """Register the reference's package chain with __path__ only, so leaf
+    model modules import WITHOUT executing the package __init__ (which
+    drags in skimage/mmdet3d datasets we don't need)."""
+    chain = ["projects", "projects.mvsdetection",
+             "projects.mvsdetection.models"]
+    sub = ref_path
+    for name in chain:
+        sub = os.path.join(sub, name.rsplit(".", 1)[-1])
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.__path__ = [sub]
+            sys.modules[name] = mod
+
+
 def build_reference_modules(ref_path: str):
     """Instantiate the reference 2D/3D modules with the published config
     args (projects/configs/mvsdetection/ray_marching_scannet.py:133-180)."""
     _stub_mm_modules()
+    _stub_reference_packages(ref_path)
     sys.path.insert(0, ref_path)
     from projects.mvsdetection.models.atlas_head import AtlasTSDFHead
     from projects.mvsdetection.models.backbone2d import AtlasFPNFeature

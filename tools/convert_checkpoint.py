@@ -139,7 +139,13 @@ class Converter:
         dst0 = ("backbone3d",)
 
         def block(src, d):
-            self.conv_bn(sd, f"{src}.conv1", d + ("conv1",), conv3d=True)
+            # BasicBlock3d names its norms bn1/bn2 as separate modules
+            # (backbone3d.py:61-66), unlike detectron's fused conv.norm
+            w = sd.get(f"{src}.conv1.weight")
+            if w is not None:
+                set_in(self.params, d + ("conv1", "conv", "kernel"),
+                       t2f_conv3d(w))
+            self.plain_bn(sd, f"{src}.bn1", d + ("conv1", "norm"))
             w = sd.get(f"{src}.conv2.weight")
             if w is not None:
                 set_in(self.params, d + ("conv2", "kernel"), t2f_conv3d(w))
@@ -348,14 +354,6 @@ def self_test():
                    train=False)
     pu, su = vu["params"], vu["batch_stats"]
 
-    def put_convbn3d(src, p, s):
-        k = np.asarray(p["conv"]["kernel"])
-        sd[f"{src}.weight"] = np.transpose(k, (4, 3, 0, 1, 2))
-        sd[f"{src}.norm.weight"] = np.asarray(p["norm"]["scale"])
-        sd[f"{src}.norm.bias"] = np.asarray(p["norm"]["bias"])
-        sd[f"{src}.norm.running_mean"] = np.asarray(s["norm"]["mean"])
-        sd[f"{src}.norm.running_var"] = np.asarray(s["norm"]["var"])
-
     def put_plainbn(src, p, s):
         sd[f"{src}.weight"] = np.asarray(p["scale"])
         sd[f"{src}.bias"] = np.asarray(p["bias"])
@@ -367,7 +365,9 @@ def self_test():
                                            (4, 3, 0, 1, 2))
 
     def put_block(src, name):
-        put_convbn3d(f"{src}.conv1", pu[name]["conv1"], su[name]["conv1"])
+        put_conv3d(f"{src}.conv1", pu[name]["conv1"]["conv"]["kernel"])
+        put_plainbn(f"{src}.bn1", pu[name]["conv1"]["norm"],
+                    su[name]["conv1"]["norm"])
         put_conv3d(f"{src}.conv2", pu[name]["conv2"]["kernel"])
         put_plainbn(f"{src}.bn2", pu[name]["bn2"], su[name]["bn2"])
 
