@@ -84,7 +84,7 @@ def accumulate_views_partial(projections: jnp.ndarray,
                              voxel_size: float,
                              origin: jnp.ndarray,
                              accum_dtype=jnp.float32,
-                             view_chunk: int = 2
+                             view_chunk: int = 4
                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Unnormalized (volume sum, view count) accumulation over views.
 
@@ -154,7 +154,7 @@ def accumulate_views(projections: jnp.ndarray,
                      voxel_size: float,
                      origin: jnp.ndarray,
                      accum_dtype=jnp.float32,
-                     view_chunk: int = 2
+                     view_chunk: int = 4
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Accumulate all views into a normalized feature volume.
 

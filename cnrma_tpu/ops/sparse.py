@@ -156,14 +156,28 @@ def apply_sparse_conv(feats: jnp.ndarray, weights: jnp.ndarray,
                       out_dtype=None) -> jnp.ndarray:
     """out[m] = Σ_k W[k]ᵀ · feats[idx[k,m]] (missing neighbors contribute 0).
 
-    One MXU matmul per kernel offset, accumulated in fp32 under a
-    ``lax.scan`` over offsets — the scan keeps the HLO one-body-sized
-    (vs 27 inlined gather+matmul pairs), which matters for compile time
-    across the ~30-layer detection stack.
+    Two measured formulations (tools/micro_bench.py 'spconv'):
+
+    * scan-of-matmuls — one MXU matmul per kernel offset, fp32 accumulator
+      under ``lax.scan``; keeps the HLO one-body-sized (compile time across
+      the ~30-layer stack) and wins when channels are wide;
+    * gather-once — one [M, K·Cin] @ [K·Cin, Cout] matmul; ~1.5x faster for
+      large M with narrow channels (18.9 -> 12.8 ms at 98k x 64 -> 128 on
+      v5e) at the cost of a [K·M, Cin] temp.
     """
     out_dtype = out_dtype or feats.dtype
-    m = idx.shape[1]
+    k, m = idx.shape
+    cin = feats.shape[-1]
     cout = weights.shape[-1]
+
+    if m >= 65536 and cin <= 128:
+        g = jnp.take(feats, idx.reshape(-1), axis=0)             # [KM,Cin]
+        g = jnp.where(found.reshape(-1)[:, None], g,
+                      jnp.zeros((), g.dtype))
+        g = g.reshape(k, m, cin).transpose(1, 0, 2).reshape(m, k * cin)
+        acc = jnp.dot(g, weights.astype(g.dtype).reshape(k * cin, cout),
+                      preferred_element_type=jnp.float32)
+        return acc.astype(out_dtype)
 
     def body(acc, inp):
         wk, ik, fk = inp

@@ -71,6 +71,9 @@ data = dict(
 
 model = dict(
     type='Atlas',
+    # stage-1 pretrain runs reduced precision (reference fp16 loss_scale=512,
+    # atlas_recon_scannet.py:23); on TPU that is bf16, no loss scaling needed
+    compute_dtype='bfloat16',
     pixel_mean=PIXEL_MEAN,
     pixel_std=PIXEL_STD,
     voxel_size=VOXEL_SIZE,

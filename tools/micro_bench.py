@@ -151,6 +151,16 @@ def main():
                   == lane[:, None])
             return jnp.sum(jnp.where(oh, g, 0.0), axis=1)
         cases["row_onehot"] = (jax.jit(row_onehot), t2, idx)
+
+        def row_onehot16(t2, i):
+            row = i >> 7
+            lane = i & 127
+            g = jnp.take(t2, row, axis=0)                       # [N,128]
+            oh = (jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)
+                  == lane[:, None])
+            return jnp.sum(jnp.where(oh, g, jnp.bfloat16(0)), axis=1)
+        cases["row_onehot_bf16"] = (jax.jit(row_onehot16),
+                                    t2.astype(jnp.bfloat16), idx)
         # sorted gather: sort indices, gather coherently, unsort
         def sorted_take(t, i):
             order = jnp.argsort(i)
@@ -161,6 +171,23 @@ def main():
         for nm, (f, *a) in cases.items():
             dt = timeit(f, *a)
             results[f"gather_{nm}"] = (dt, f"{N / dt / 1e9:.3f} Gelem/s")
+
+    if "topkvar" in names:
+        # per-ray top-k (ray march): exact top_k vs TPU approx_max_k
+        s = jnp.asarray(rng.rand(19200, 300).astype(np.float32))
+        f = jax.jit(lambda s: jax.lax.top_k(s, 20))
+        results["topk_rows_exact"] = (timeit(f, s), "[19200,300]->20")
+        for rt in (0.95, 0.99):
+            fa = jax.jit(lambda s, rt=rt: jax.lax.approx_max_k(
+                s, 20, recall_target=rt))
+            results[f"topk_rows_approx{rt}"] = (
+                timeit(fa, s), "[19200,300]->20")
+        big = jnp.asarray(rng.rand(19200 * 20).astype(np.float32))
+        f = jax.jit(lambda s: jax.lax.top_k(s, 8192))
+        results["topk_flat_exact"] = (timeit(f, big), "[384k]->8192")
+        fa = jax.jit(lambda s: jax.lax.approx_max_k(
+            s, 8192, recall_target=0.99))
+        results["topk_flat_approx"] = (timeit(fa, big), "[384k]->8192")
 
     if "lookup" in names:
         # sparse kernel-map: search 27*N neighbor keys in N sorted keys,
