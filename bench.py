@@ -33,12 +33,12 @@ import numpy as np
 EST_REFERENCE_SCENES_PER_SEC_PER_GPU = 0.125
 
 
-def build_bench(scale: str):
+def build_bench(scale: str, batch: int = 1):
     import jax.numpy as jnp
     from cnrma_tpu.models.cn_rma import CNRMA
     from cnrma_tpu.models.fcaf3d import DetectionCapacities
 
-    if scale == "full":
+    if scale.startswith("full"):
         # the reference's ScanNet test setting (256x256x96 @ 4cm, 50 views)
         dims = dict(voxel_dim=(256, 256, 96), views=50, h=480, w=640,
                     rays_cap=16384, max_points=262144, ray_samples=300,
@@ -87,20 +87,27 @@ def build_bench(scale: str):
         E = np.eye(4, dtype=np.float32)       # camera-to-world
         E[:3, 0], E[:3, 1], E[:3, 2], E[:3, 3] = right, -up, fwd, eye
         projs.append(intr @ np.linalg.inv(E)[:3])
-    batch = {
-        "imgs": rng.rand(1, v, h, w, 3).astype(np.float32) * 255,
-        "projection": np.stack(projs)[None].astype(np.float32),
-        "view_valid": np.ones((1, v), bool),
-        "offset": np.zeros((1, 3), np.float32),
+    b = batch
+    batch_d = {
+        "imgs": np.broadcast_to(
+            rng.rand(1, v, h, w, 3).astype(np.float32) * 255,
+            (b, v, h, w, 3)).copy(),
+        "projection": np.broadcast_to(
+            np.stack(projs)[None].astype(np.float32), (b, v, 3, 4)).copy(),
+        "view_valid": np.ones((b, v), bool),
+        "offset": np.zeros((b, 3), np.float32),
     }
-    return model, batch
+    return model, batch_d
 
 
 def run(scale: str):
     import jax
     import jax.numpy as jnp
 
-    model, batch = build_bench(scale)
+    # 'full2' = full shapes with a 2-scene batch: amortizes fixed per-step
+    # overheads; throughput metric stays scenes/sec/chip (= B / step time)
+    n_batch = 2 if scale == "full2" else 1
+    model, batch = build_bench(scale, batch=n_batch)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     rng = jax.random.PRNGKey(0)
     # jit the init: eager init dispatches thousands of ops (and compiles
@@ -139,21 +146,39 @@ def run(scale: str):
         r = forward(variables, batch)
     force(r)
     dt = (time.perf_counter() - t0) / n_iter
-    return 1.0 / dt
+    return n_batch / dt
 
 
 # Small runs first so SOME number always lands inside the driver's budget;
 # each later scale only upgrades the result.  Timeouts are per-subprocess
 # caps; the outer loop additionally respects BENCH_TOTAL_BUDGET_SEC.
-SCALE_ORDER = ("small", "medium", "full")
-SCALE_TIMEOUTS = {"small": 600, "medium": 1200, "full": 2400}
+SCALE_ORDER = ("small", "medium", "full", "full2")
+SCALE_TIMEOUTS = {"small": 600, "medium": 1200, "full": 2400,
+                  "full2": 1800}
 TOTAL_BUDGET = float(os.environ.get("BENCH_TOTAL_BUDGET_SEC", "3000"))
+
+
+def _result_line(value, used_scale):
+    if value is None:
+        return json.dumps({
+            "metric": "scannet_test_scenes_per_sec_per_chip",
+            "value": 0.0, "unit": "scenes/sec", "vs_baseline": 0.0})
+    return json.dumps({
+        "metric": f"scannet_test_scenes_per_sec_per_chip({used_scale})",
+        "value": round(value, 4),
+        "unit": "scenes/sec",
+        "vs_baseline": round(
+            value / EST_REFERENCE_SCENES_PER_SEC_PER_GPU, 2),
+    })
 
 
 def main():
     """Run scales smallest-first, each in a subprocess with a timeout, and
-    report the largest scale that finished.  A warmed .jax_cache (populated
-    during the round) makes the full-scale rerun compile in seconds."""
+    report the largest scale that finished.  The best-so-far JSON line is
+    re-printed after every scale, so the LAST stdout line is a valid
+    result even if the whole process is killed mid-ladder.  A warmed
+    .jax_cache (populated during the round) makes reruns compile in
+    seconds."""
     import subprocess
     t_start = time.perf_counter()
     value, used_scale = None, None
@@ -174,9 +199,17 @@ def main():
                     got = float(line.split()[1])
                     break
             if got is not None:
-                value, used_scale = got, scale
-                print(f"bench: {scale} -> {got:.4f} scenes/sec",
-                      file=sys.stderr)
+                # larger scales may legitimately be slower (full vs full2:
+                # keep whichever is the larger-scale result; full2 only
+                # upgrades full if its batched throughput is higher)
+                if scale == "full2" and value is not None \
+                        and got <= value:
+                    print(f"bench: {scale} -> {got:.4f} (not better)",
+                          file=sys.stderr)
+                else:
+                    value, used_scale = got, scale
+                    print(f"bench: {scale} -> {got:.4f} scenes/sec",
+                          file=sys.stderr)
             else:
                 print(f"bench scale={scale} failed:\n"
                       + out.stderr[-2000:], file=sys.stderr)
@@ -185,22 +218,12 @@ def main():
             print(f"bench scale={scale} timed out after {timeout:.0f}s",
                   file=sys.stderr)
             break
-    if value is None:
-        print(json.dumps({"metric": "scannet_test_scenes_per_sec_per_chip",
-                          "value": 0.0, "unit": "scenes/sec",
-                          "vs_baseline": 0.0}))
-        return
-    print(json.dumps({
-        "metric": f"scannet_test_scenes_per_sec_per_chip({used_scale})",
-        "value": round(value, 4),
-        "unit": "scenes/sec",
-        "vs_baseline": round(
-            value / EST_REFERENCE_SCENES_PER_SEC_PER_GPU, 2),
-    }))
+        print(_result_line(value, used_scale), flush=True)
+    print(_result_line(value, used_scale), flush=True)
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] in ("full", "medium", "small"):
+    if len(sys.argv) > 1 and sys.argv[1] in SCALE_ORDER:
         print("BENCH_RESULT", run(sys.argv[1]))
     else:
         main()

@@ -112,14 +112,17 @@ class TextLogger:
 def run_training(model, tx, loader, *, epochs: int, state: TrainState,
                  work_dir: str, lr_schedule=None, seed: int = 0,
                  log_interval: int = 10, checkpoint_interval: int = 10,
-                 mesh=None, start_epoch: int = 0) -> TrainState:
-    """Epoch-based training driver."""
+                 mesh=None, start_epoch: int = 0,
+                 max_steps: Optional[int] = None) -> TrainState:
+    """Epoch-based training driver.  ``max_steps`` stops early (smoke
+    runs / debugging), checkpointing the final state."""
     mesh = mesh or make_mesh()
     step_fn = make_train_step(model, tx)
     logger = TextLogger(work_dir, log_interval)
     rng = jax.random.PRNGKey(seed)
     state = replicate(state, mesh)
 
+    done = False
     for epoch in range(start_epoch, epochs):
         for batch in loader:
             db = shard_batch(device_batch(batch), mesh)
@@ -128,8 +131,14 @@ def run_training(model, tx, loader, *, epochs: int, state: TrainState,
             lr = (float(lr_schedule(step)) if lr_schedule is not None
                   else float("nan"))
             logger(step, epoch, jax.device_get(log_vars), lr)
-        if (epoch + 1) % checkpoint_interval == 0 or epoch + 1 == epochs:
+            if max_steps is not None and step >= max_steps:
+                done = True
+                break
+        if done or (epoch + 1) % checkpoint_interval == 0 \
+                or epoch + 1 == epochs:
             save_checkpoint(
                 os.path.join(work_dir, f"epoch_{epoch + 1}"), state,
                 meta={"epoch": epoch + 1, "framework": "cnrma_tpu"})
+        if done:
+            break
     return state

@@ -10,6 +10,25 @@ from __future__ import annotations
 import os
 
 
+def respect_jax_platforms_env() -> None:
+    """Make the ``JAX_PLATFORMS`` env var authoritative again.
+
+    Some environments (e.g. a sitecustomize that registers a remote TPU
+    platform) pin ``jax_platforms`` via ``jax.config``, which silently
+    overrides the env var — so ``JAX_PLATFORMS=cpu python tools/...``
+    would still dispatch to the remote device.  Calling this before the
+    first backend use restores the standard env-var semantics.  No-op
+    when the env var is unset.
+    """
+    val = os.environ.get("JAX_PLATFORMS")
+    if val:
+        try:
+            import jax
+            jax.config.update("jax_platforms", val)
+        except Exception:
+            pass
+
+
 def enable_persistent_cache(path: str | None = None,
                             min_compile_secs: float = 10.0) -> str:
     """Point JAX's compilation cache at ``path`` (default: repo/.jax_cache).

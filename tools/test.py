@@ -42,7 +42,9 @@ def parse_args():
 
 def main():
     args = parse_args()
-    from cnrma_tpu.utils.comp_cache import enable_persistent_cache
+    from cnrma_tpu.utils.comp_cache import (
+        enable_persistent_cache, respect_jax_platforms_env)
+    respect_jax_platforms_env()
     enable_persistent_cache()
     from cnrma_tpu.core.config import Config
     from cnrma_tpu.core.builder import build_model, build_dataset
