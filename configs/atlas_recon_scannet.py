@@ -83,6 +83,9 @@ model = dict(
     voxel_dim_test=VOXEL_DIM_TEST,
     origin=[0, 0, 0],
     backbone2d_stride=4,
+    # auto-loaded Caffe2 R-50 weights (reference fpn.py:142-144); set to a
+    # real path before training from stage 1
+    backbone2d=dict(pretrained='./data/R-50.pth'),
     loss_weight_recon=1.0,
     feature_2d=dict(output_dim=32, output_stride=4, norm='BN'),
     backbone_3d=dict(

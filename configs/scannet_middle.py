@@ -95,6 +95,9 @@ model = dict(
     voxel_dim_test=VOXEL_DIM_TEST,
     origin=[0, 0, 0],
     backbone2d_stride=4,
+    # auto-loaded Caffe2 R-50 weights (reference fpn.py:142-144); set to a
+    # real path before training from stage 1
+    backbone2d=dict(pretrained='./data/R-50.pth'),
     loss_weight_detection=LOSS_WEIGHT_DETECTION,
     loss_weight_recon=LOSS_WEIGHT_RECON,
     voxel_size_fcaf3d=VOXEL_SIZE_FCAF3D,

@@ -265,6 +265,39 @@ def convert_state_dict(sd, me_offset_order="xyz"):
     return c.params, c.stats
 
 
+def load_torch_pretrained(path: str, me_offset_order: str = "xyz"):
+    """.pth checkpoint -> (params, batch_stats) trees via the mapping."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    return convert_state_dict(sd, me_offset_order)
+
+
+def merge_pretrained(dst: dict, src: dict, path: str = "") -> int:
+    """Overwrite dst leaves with matching src leaves (in place).
+
+    Returns the number of leaves copied; src keys missing from dst are
+    reported (shape mismatches raise).
+    """
+    n = 0
+    for k, v in src.items():
+        here = f"{path}/{k}"
+        if k not in dst:
+            print(f"pretrained: no target for {here} (skipped)")
+            continue
+        if isinstance(v, dict):
+            n += merge_pretrained(dst[k], v, here)
+        else:
+            if np.asarray(dst[k]).shape != np.asarray(v).shape:
+                raise ValueError(
+                    f"pretrained shape mismatch at {here}: "
+                    f"{np.asarray(dst[k]).shape} vs {np.asarray(v).shape}")
+            dst[k] = np.asarray(v)
+            n += 1
+    return n
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--input", help=".pth checkpoint")

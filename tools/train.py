@@ -92,6 +92,27 @@ def main():
     variables = jax.jit(lambda: model.init(
         {"params": rng, "sample": rng, "aug": rng}, sample,
         train=False))()
+
+    # reference parity: the FPN constructor auto-loads the Caffe2 R-50
+    # backbone when backbone2d.pretrained is set (fpn.py:142-144); without
+    # it from-scratch training saturates the TSDF tanh (frozen-at-init BN
+    # with caffe2-scale inputs) and recon gradients vanish
+    pre2d = (cfg.get("model", {}).get("backbone2d", {}) or {}).get(
+        "pretrained")
+    if pre2d:
+        if os.path.isfile(pre2d):
+            from tools.convert_checkpoint import (
+                load_torch_pretrained, merge_pretrained)
+            from flax.core import unfreeze
+            p2, s2 = load_torch_pretrained(pre2d)
+            variables = unfreeze(jax.device_get(variables))
+            n = merge_pretrained(variables["params"], p2)
+            n += merge_pretrained(variables.get("batch_stats", {}), s2)
+            print(f"loaded {n} pretrained 2D-backbone arrays from {pre2d}")
+        else:
+            print(f"WARNING: backbone2d.pretrained={pre2d} not found — "
+                  "training the 2D tower from scratch")
+
     tx = build_optimizer(cfg.optimizer, lr_schedule, grad_clip=clip,
                          params=variables["params"],
                          frozen_prefixes=FROZEN_PREFIXES_FREEZE_AT_2)
