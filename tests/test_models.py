@@ -197,9 +197,10 @@ class TestFCAF3DDetector:
                              assigner_topk=4, nms_pre=32,
                              capacities=DetectionCapacities.tiny())
         pts, feats, valid = self._toy_scene(jax.random.PRNGKey(0))
-        vars_ = det.init(jax.random.PRNGKey(1), pts, feats, valid,
-                         train=False)
-        outs = det.apply(vars_, pts, feats, valid, train=False)
+        vars_ = jax.jit(lambda: det.init(
+            jax.random.PRNGKey(1), pts, feats, valid, train=False))()
+        outs = jax.jit(lambda v: det.apply(
+            v, pts, feats, valid, train=False))(vars_)
         assert len(outs) == 4
         gt_boxes = jnp.array([[[1.0, 1.0, 1.0, 0.8, 0.8, 0.8, 0.0]]])
         gt_labels = jnp.array([[2]], jnp.int32)
@@ -214,9 +215,10 @@ class TestFCAF3DDetector:
                              pts_threshold=1000, nms_pre=16,
                              capacities=DetectionCapacities.tiny())
         pts, feats, valid = self._toy_scene(jax.random.PRNGKey(2))
-        vars_ = det.init(jax.random.PRNGKey(1), pts, feats, valid,
-                         train=False)
-        outs = det.apply(vars_, pts, feats, valid, train=False)
+        vars_ = jax.jit(lambda: det.init(
+            jax.random.PRNGKey(1), pts, feats, valid, train=False))()
+        outs = jax.jit(lambda v: det.apply(
+            v, pts, feats, valid, train=False))(vars_)
         bboxes, scores, bvalid = det.get_bboxes(outs)
         assert bboxes.shape[0] == 1 and bboxes.shape[2] == 6
         assert scores.shape[2] == 4
@@ -234,8 +236,10 @@ class TestFCAF3DDetector:
         pts, feats, valid = self._toy_scene(jax.random.PRNGKey(3))
         vars_ = det32.init(jax.random.PRNGKey(1), pts, feats, valid,
                            train=False)
-        o32 = det32.apply(vars_, pts, feats, valid, train=False)
-        o16 = det16.apply(vars_, pts, feats, valid, train=False)
+        o32 = jax.jit(lambda v: det32.apply(
+            v, pts, feats, valid, train=False))(vars_)
+        o16 = jax.jit(lambda v: det16.apply(
+            v, pts, feats, valid, train=False))(vars_)
         for a, b in zip(o32, o16):
             assert a.cls_scores.dtype == b.cls_scores.dtype == jnp.float32
             np.testing.assert_array_equal(np.asarray(a.valid),
@@ -265,7 +269,7 @@ class TestFCAF3DDetector:
             l = det.loss(outs, gt_boxes, gt_labels, gt_valid)
             return sum(l.values())
 
-        g = jax.grad(loss_fn)(vars_["params"])
+        g = jax.jit(jax.grad(loss_fn))(vars_["params"])
         leaves = jax.tree_util.tree_leaves(g)
         assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
         assert any(np.abs(np.asarray(x)).sum() > 0 for x in leaves)

@@ -69,8 +69,8 @@ class TestCNRMAForward:
     def test_forward_test_outputs(self, cnrma_setup):
         model, batch, vars_ = cnrma_setup
         rng = jax.random.PRNGKey(0)
-        out = model.apply(vars_, batch, train=False,
-                          rngs={"sample": rng})
+        out = jax.jit(lambda v, b: model.apply(
+            v, b, train=False, rngs={"sample": rng}))(vars_, batch)
         assert set(out["tsdf"]) == {"scene_tsdf_010", "scene_tsdf_020",
                                     "scene_tsdf_040"}
         assert out["tsdf"]["scene_tsdf_010"].shape == (1, 16, 16, 16)
@@ -91,7 +91,8 @@ class TestCNRMAForward:
                 mutable=["batch_stats"])
             return sum(out["losses"].values())
 
-        loss, grads = jax.value_and_grad(loss_fn)(vars_["params"])
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(
+            vars_["params"])
         assert np.isfinite(float(loss))
         leaves = jax.tree_util.tree_leaves(grads)
         assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
@@ -104,7 +105,8 @@ class TestCNRMAForward:
         rng = jax.random.PRNGKey(0)
         vars_ = jax.jit(lambda: model.init(
             {"params": rng}, batch, train=False))()
-        out = model.apply(vars_, batch, train=False)
+        out = jax.jit(lambda v, b: model.apply(v, b, train=False))(
+            vars_, batch)
         assert "bboxes" not in out
         assert set(out["losses"]) == {"tsdf_loss_010", "tsdf_loss_020",
                                       "tsdf_loss_040"}
