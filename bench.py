@@ -152,7 +152,12 @@ def run(scale: str):
 # Small runs first so SOME number always lands inside the driver's budget;
 # each later scale only upgrades the result.  Timeouts are per-subprocess
 # caps; the outer loop additionally respects BENCH_TOTAL_BUDGET_SEC.
-SCALE_ORDER = ("small", "medium", "full", "full2")
+SCALE_ORDER = ("small", "medium", "full")
+# batch-2 full scale: legitimate serving throughput, but the B=2 program
+# currently crashes this toolchain's remote TPU compiler (HTTP 500) —
+# opt in once the compiler handles it
+if os.environ.get("BENCH_TRY_FULL2"):
+    SCALE_ORDER = SCALE_ORDER + ("full2",)
 SCALE_TIMEOUTS = {"small": 600, "medium": 1200, "full": 2400,
                   "full2": 1800}
 TOTAL_BUDGET = float(os.environ.get("BENCH_TOTAL_BUDGET_SEC", "3000"))
