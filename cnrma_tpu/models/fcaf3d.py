@@ -170,19 +170,27 @@ class FCAF3DBackboneNet(nn.Module):
 
 class SparseUpBlock(nn.Module):
     """Generative transpose k2 s2 + BN + ELU + conv k3 + BN + ELU
-    (reference ``_make_up_block``, ``fcaf3d_head.py:70-84``)."""
+    (reference ``_make_up_block``, ``fcaf3d_head.py:70-84``).
+
+    With ``child_kmap`` (derived arithmetically from the parent's 27-map,
+    see ``ops.sparse.derive_child_kmap``) the children stay in unsorted
+    p-major order and the k3 conv runs with ZERO coordinate searches; the
+    caller is responsible for eventually re-sorting (prune_topk does).
+    """
     features: int
 
     @nn.compact
-    def __call__(self, st: sp.SparseTensor, train: bool) -> sp.SparseTensor:
+    def __call__(self, st: sp.SparseTensor, train: bool,
+                 child_kmap=None) -> sp.SparseTensor:
         w = self.param("up_kernel", _conv_init,
                        (8, st.num_channels, self.features))
-        x = jax.vmap(lambda s: sp.generative_transpose_conv(s, w))(st)
+        x = jax.vmap(lambda s: sp.generative_transpose_conv(
+            s, w, sort=child_kmap is None))(st)
         x = x.with_feats(MaskedBatchNorm(name="norm1")(
             x.feats, x.valid, train))
         x = x.with_feats(elu(x.feats))
         x = SparseConv(self.features, 3, 1, norm="BN", act=elu,
-                       name="conv")(x, train)
+                       name="conv")(x, train, kmap=child_kmap)
         return x
 
 
@@ -229,16 +237,33 @@ class FCAF3DHeadNet(nn.Module):
 
         outs: List[LevelOut] = [None] * n_levels
         x = inputs[-1]
+        offsets27 = sp.kernel_offsets(3)
+        # ONE searchsorted kernel map per level, shared by the out-block
+        # conv AND (arithmetically derived) by the next up-block's k3 conv,
+        # skip-add and trilinear prune scores — the decoder performs no
+        # other coordinate searches
+        kmap27 = jax.vmap(lambda s: sp.kernel_map(s, offsets27))(x)
         prune_scores_st = None
         for i in range(n_levels - 1, -1, -1):
             if i < n_levels - 1:
+                parent_keys = x.keys
+                parent_valid = x.valid
+                child_kmap = jax.vmap(sp.derive_child_kmap)(kmap27)
                 x = SparseUpBlock(self.in_channels[i],
-                                  name=f"up_block_{i + 1}")(x, train)
-                x = jax.vmap(sp.add_into)(x, inputs[i])
-                x = self._prune(x, prune_scores_st,
-                                self.capacities.neck[i])
+                                  name=f"up_block_{i + 1}")(
+                    x, train, child_kmap=child_kmap)
+                x = jax.vmap(sp.add_skip_into_children)(
+                    x, inputs[i], parent_keys)
+                scores = jax.lax.stop_gradient(jax.vmap(
+                    sp.interpolate_children_scores)(
+                    prune_scores_st.feats[..., 0], kmap27, parent_valid))
+                keep = min(self.capacities.neck[i], self.pts_threshold) \
+                    if self.pts_threshold > 0 else self.capacities.neck[i]
+                x = jax.vmap(lambda s, sc: sp.prune_topk(s, sc, keep))(
+                    x, scores)
+                kmap27 = jax.vmap(lambda s: sp.kernel_map(s, offsets27))(x)
             out = SparseConv(self.out_channels, 3, 1, norm="BN", act=elu,
-                             name=f"out_block_{i}")(x, train)
+                             name=f"out_block_{i}")(x, train, kmap=kmap27)
             level_out, prune_scores_st = self._forward_single(
                 out, i, head_params)
             outs[i] = level_out
@@ -264,22 +289,6 @@ class FCAF3DHeadNet(nn.Module):
                          cls_scores=cls_scores, points=points,
                          valid=st.valid),
                 prune_st)
-
-    def _prune(self, x: sp.SparseTensor, scores_st: sp.SparseTensor,
-               capacity: int) -> sp.SparseTensor:
-        """Keep the top min(capacity, pts_threshold) points by the coarser
-        level's max-cls score interpolated at x's coordinates
-        (reference ``_prune``, ``fcaf3d_head.py:123-139``)."""
-        keep = min(capacity, self.pts_threshold) \
-            if self.pts_threshold > 0 else capacity
-
-        def per_scene(xs, ss):
-            pos = xs.coords.astype(jnp.float32)
-            scores = sp.interpolate_at(ss, pos, xs.valid)[:, 0]
-            return sp.prune_topk(xs, scores, keep)
-
-        return jax.vmap(per_scene)(x, jax.lax.stop_gradient(scores_st))
-
 
 def decode_bbox(points: jnp.ndarray, bbox_pred: jnp.ndarray,
                 yaw_parametrization: str = "fcaf3d") -> jnp.ndarray:

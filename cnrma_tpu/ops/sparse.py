@@ -156,28 +156,17 @@ def apply_sparse_conv(feats: jnp.ndarray, weights: jnp.ndarray,
                       out_dtype=None) -> jnp.ndarray:
     """out[m] = Σ_k W[k]ᵀ · feats[idx[k,m]] (missing neighbors contribute 0).
 
-    Two measured formulations (tools/micro_bench.py 'spconv'):
-
-    * scan-of-matmuls — one MXU matmul per kernel offset, fp32 accumulator
-      under ``lax.scan``; keeps the HLO one-body-sized (compile time across
-      the ~30-layer stack) and wins when channels are wide;
-    * gather-once — one [M, K·Cin] @ [K·Cin, Cout] matmul; ~1.5x faster for
-      large M with narrow channels (18.9 -> 12.8 ms at 98k x 64 -> 128 on
-      v5e) at the cost of a [K·M, Cin] temp.
+    One MXU matmul per kernel offset, accumulated in fp32 under a
+    ``lax.scan`` over offsets — the scan keeps the HLO one-body-sized
+    (vs 27 inlined gather+matmul pairs), which matters for compile time
+    across the ~30-layer detection stack.  A gather-once formulation
+    ([M, K·Cin] @ [K·Cin, Cout]) measured ~1.5x faster in isolation at
+    neck shapes but SLOWER in the compiled pipeline (the [K·M, Cin]
+    temp + transpose defeats fusion) — kept out.
     """
     out_dtype = out_dtype or feats.dtype
-    k, m = idx.shape
-    cin = feats.shape[-1]
+    m = idx.shape[1]
     cout = weights.shape[-1]
-
-    if m >= 65536 and cin <= 128:
-        g = jnp.take(feats, idx.reshape(-1), axis=0)             # [KM,Cin]
-        g = jnp.where(found.reshape(-1)[:, None], g,
-                      jnp.zeros((), g.dtype))
-        g = g.reshape(k, m, cin).transpose(1, 0, 2).reshape(m, k * cin)
-        acc = jnp.dot(g, weights.astype(g.dtype).reshape(k * cin, cout),
-                      preferred_element_type=jnp.float32)
-        return acc.astype(out_dtype)
 
     def body(acc, inp):
         wk, ik, fk = inp
@@ -271,8 +260,8 @@ def max_pool(st: SparseTensor, factor: int, capacity: int) -> SparseTensor:
                         stride=st.stride * factor, grid=st.grid)
 
 
-def generative_transpose_conv(st: SparseTensor, weights: jnp.ndarray
-                              ) -> SparseTensor:
+def generative_transpose_conv(st: SparseTensor, weights: jnp.ndarray,
+                              sort: bool = True) -> SparseTensor:
     """Generative transposed conv k2 s2 (ME
     ``MinkowskiGenerativeConvolutionTranspose``, ``fcaf3d_head.py:72-78``):
     every input voxel emits its 8 stride/2 children with per-child weights.
@@ -280,7 +269,12 @@ def generative_transpose_conv(st: SparseTensor, weights: jnp.ndarray
     Output capacity is 8x the input capacity; children of distinct parents
     are distinct so no dedup is needed (children of different parents can
     interleave in key order — z-adjacent parents are only ``stride`` apart
-    in key space — so a real sort is required).
+    in key space — so a real sort is required for a canonical tensor).
+
+    With ``sort=False`` the children stay in p-major order (row p*8 + o,
+    the layout ``derive_child_kmap``/``add_skip_into_children``/
+    ``interpolate_children_scores`` expect); the keys array is then NOT
+    sorted — do not ``lookup`` into it.
     """
     assert st.stride % 2 == 0, "cannot upsample a stride-1 tensor"
     child_stride = st.stride // 2
@@ -302,10 +296,136 @@ def generative_transpose_conv(st: SparseTensor, weights: jnp.ndarray
     keys_flat = child_keys.reshape(8 * n)
     coords_flat = child_coords.reshape(8 * n, 3)
     feats_flat = outs.reshape(8 * n, -1).astype(st.feats.dtype)
+    if not sort:
+        return SparseTensor(keys=keys_flat, coords=coords_flat,
+                            feats=feats_flat, stride=child_stride,
+                            grid=st.grid)
     keys_sorted, coords_s, feats_s = sort_by_key(
         keys_flat, coords_flat, feats_flat)
     return SparseTensor(keys=keys_sorted, coords=coords_s, feats=feats_s,
                         stride=child_stride, grid=st.grid)
+
+
+# ---------------------------------------------------------------------------
+# decoder fast path: children of a sorted parent tensor
+#
+# A generative transpose emits the 8 stride/2 children of every parent in
+# p-major order (row p*8 + o).  Because every child coordinate is
+# parent + o·s/2 with o in {0,1}^3, EVERY structural query about children
+# reduces to queries about parents:
+#   * a child's 27-neighborhood lives among the children of the parent's
+#     27-neighborhood:  (o + d) = 2e + o'  with e in {-1,0,1}^3;
+#   * a skip-tensor row at child stride belongs to child slot
+#     (parent_index(coord//s·s)·8 + o_index(coord));
+#   * the trilinear corners of a child on the parent grid are the parents
+#     at offsets c in {0,1}^3 with static weights 0.5^{|o|}.
+# So the whole FCAF3D decoder level needs ONE searchsorted kernel map (the
+# parent's, which the out-block conv needs anyway) — the former per-level
+# searches over the 8x-larger child set become index arithmetic.
+# ---------------------------------------------------------------------------
+
+def _child_offset_tables() -> Tuple[np.ndarray, np.ndarray]:
+    """Static (e_idx, o'_idx) tables [8 children, 27 conv offsets].
+
+    e_idx indexes kernel_offsets(3) rows (parent neighborhood), o'_idx the
+    child enumeration used by ``generative_transpose_conv`` (x fastest).
+    """
+    child_offs = [(x, y, z) for z in (0, 1) for y in (0, 1)
+                  for x in (0, 1)]                       # transpose order
+    conv_offs = kernel_offsets(3)                        # [27,3] x fastest
+    off_index = {tuple(v): i for i, v in enumerate(conv_offs.tolist())}
+    child_index = {v: i for i, v in enumerate(child_offs)}
+    e_idx = np.zeros((8, 27), np.int32)
+    op_idx = np.zeros((8, 27), np.int32)
+    for oi, o in enumerate(child_offs):
+        for di, d in enumerate(conv_offs.tolist()):
+            e, op = [], []
+            for a in range(3):
+                t = o[a] + d[a]
+                e.append((t - (t % 2)) // 2)
+                op.append(t % 2)
+            e_idx[oi, di] = off_index[tuple(e)]
+            op_idx[oi, di] = child_index[tuple(op)]
+    return e_idx, op_idx
+
+
+_CHILD_E_IDX, _CHILD_OP_IDX = _child_offset_tables()
+
+
+def derive_child_kmap(kmap27: Tuple[jnp.ndarray, jnp.ndarray]
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Parent [27, N] kernel map -> child [27, 8N] kernel map, no search.
+
+    Children are in ``generative_transpose_conv`` row order (p*8 + o).
+    """
+    p_idx, p_found = kmap27                              # [27, N]
+    n = p_idx.shape[1]
+    e = jnp.asarray(_CHILD_E_IDX)                        # [8, 27]
+    op = jnp.asarray(_CHILD_OP_IDX)
+    # neighbor parent per (child o, conv offset d): [8, 27, N]
+    par = jnp.take(p_idx, e.reshape(-1), axis=0).reshape(8, 27, n)
+    fnd = jnp.take(p_found, e.reshape(-1), axis=0).reshape(8, 27, n)
+    idx = par * 8 + op[:, :, None]
+    # -> [27, 8N] with child rows p-major (p*8 + o)
+    idx = jnp.transpose(idx, (1, 2, 0)).reshape(27, 8 * n)
+    fnd = jnp.transpose(fnd, (1, 2, 0)).reshape(27, 8 * n)
+    return idx.astype(jnp.int32), fnd
+
+
+def add_skip_into_children(children: SparseTensor, skip: SparseTensor,
+                           parent_keys: jnp.ndarray) -> SparseTensor:
+    """children += skip, matching by coordinate via PARENT lookup only.
+
+    ``children`` is the (possibly unsorted, p-major) output of a
+    generative transpose over parents with sorted ``parent_keys``; a skip
+    row at coordinate c lands in child slot parent_index(c//s·s)*8 +
+    o_index(c) — N searches instead of 8N.
+    """
+    s = skip.stride * 2
+    half = skip.stride
+    pc = (skip.coords // s) * s
+    pkeys = jnp.where(skip.valid, skip.grid.pack(pc), SENTINEL_KEY)
+    p_idx, found = lookup(parent_keys, pkeys)
+    o = (skip.coords - pc) // half                        # [N,3] in {0,1}
+    o_idx = o[:, 0] + 2 * o[:, 1] + 4 * o[:, 2]           # x fastest
+    slot = jnp.where(found, p_idx * 8 + o_idx, children.capacity)
+    add = jnp.where(found[:, None], skip.feats, 0.0)
+    feats = children.feats.at[slot].add(
+        add.astype(children.feats.dtype), mode="drop")
+    return children.with_feats(feats)
+
+
+def interpolate_children_scores(scores: jnp.ndarray,
+                                kmap27: Tuple[jnp.ndarray, jnp.ndarray],
+                                parent_valid: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear parent-grid scores at all 8N child positions, no search.
+
+    A child at parent + o·s/2 has fracs o/2 per axis, so its trilinear
+    corners are the parents at offsets c <= o (c in {0,1}^3) with weight
+    0.5^{|o|}; corner indices come from the parent 27-map.  Equivalent to
+    ``interpolate_at(score_st, child_positions)`` (missing corners
+    contribute 0).  scores: [N] parent scores.  Returns [8N] p-major.
+    """
+    p_idx, p_found = kmap27
+    n = p_idx.shape[1]
+    conv_offs = kernel_offsets(3).tolist()
+    off_index = {tuple(v): i for i, v in enumerate(conv_offs)}
+    child_offs = [(x, y, z) for z in (0, 1) for y in (0, 1)
+                  for x in (0, 1)]
+    out = jnp.zeros((n, 8), jnp.float32)
+    sc = jnp.where(parent_valid, scores.astype(jnp.float32), 0.0)
+    for oi, o in enumerate(child_offs):
+        no = o[0] + o[1] + o[2]
+        w = 0.5 ** no
+        acc = jnp.zeros((n,), jnp.float32)
+        for cx in range(o[0] + 1):
+            for cy in range(o[1] + 1):
+                for cz in range(o[2] + 1):
+                    ei = off_index[(cx, cy, cz)]
+                    v = jnp.take(sc, p_idx[ei]) * p_found[ei]
+                    acc = acc + w * v
+        out = out.at[:, oi].set(acc)
+    return out.reshape(8 * n)
 
 
 def add_into(target: SparseTensor, source: SparseTensor) -> SparseTensor:

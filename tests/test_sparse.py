@@ -260,6 +260,108 @@ class TestPruneInterp:
         np.testing.assert_allclose(out.ravel(), [2.0], atol=1e-5)
 
 
+class TestChildDerivation:
+    """The search-free decoder path (child kernel maps / skip-add /
+    trilinear prune scores derived arithmetically from the parent 27-map)
+    must match the searchsorted reference path bit-for-bit in structure."""
+
+    def _setup(self):
+        from cnrma_tpu.ops.sparse import (
+            add_skip_into_children, derive_child_kmap,
+            interpolate_children_scores)
+        rng = np.random.RandomState(5)
+        # parent tensor at stride 2 (coords even), some capacity padding
+        all_coords = np.array([(x, y, z) for x in range(0, 12, 2)
+                               for y in range(0, 12, 2)
+                               for z in range(0, 8, 2)])
+        pick = rng.choice(len(all_coords), 40, replace=False)
+        pcoords = all_coords[pick]
+        c_in, c_out = 6, 5
+        st = make_sparse(pcoords, rng.rand(40, c_in), capacity=48,
+                         stride=2)
+        w_up = rng.rand(8, c_in, c_out).astype(np.float32) * 0.3
+        w_conv = rng.rand(27, c_out, c_out).astype(np.float32) * 0.2
+        # skip tensor: children of some parents + strays whose parent
+        # is NOT in the set (must be dropped by both paths)
+        sk_coords = []
+        for p in pcoords[:15]:
+            sk_coords.append(p + rng.randint(0, 2, 3))
+        sk_coords.append(np.array([101, 3, 3]))   # stray (odd parent)
+        sk_coords = np.unique(np.asarray(sk_coords), axis=0)
+        skip = make_sparse(sk_coords, rng.rand(len(sk_coords), c_out),
+                           capacity=24, stride=1)
+        scores = rng.rand(48).astype(np.float32) * 10
+        return (st, skip, w_up, w_conv, scores, derive_child_kmap,
+                add_skip_into_children, interpolate_children_scores)
+
+    def test_fast_path_matches_search_path(self):
+        (st, skip, w_up, w_conv, scores, derive_child_kmap,
+         add_skip_into_children, interpolate_children_scores) = \
+            self._setup()
+        keep = 100
+
+        # --- reference path: sorted children + searchsorted everywhere
+        y = generative_transpose_conv(st, jnp.asarray(w_up))
+        y = y.with_feats(apply_sparse_conv(
+            y.feats, jnp.asarray(w_conv),
+            *kernel_map(y, kernel_offsets(3))))
+        y = add_into(y, skip)
+        score_st = st.with_feats(jnp.asarray(scores)[:, None])
+        sc = interpolate_at(score_st, y.coords.astype(jnp.float32),
+                            y.valid)[:, 0]
+        old = prune_topk(y, sc, keep)
+
+        # --- fast path: unsorted p-major children, derived maps
+        kmap27 = kernel_map(st, kernel_offsets(3))
+        y2 = generative_transpose_conv(st, jnp.asarray(w_up), sort=False)
+        y2 = y2.with_feats(apply_sparse_conv(
+            y2.feats, jnp.asarray(w_conv), *derive_child_kmap(kmap27)))
+        y2 = add_skip_into_children(y2, skip, st.keys)
+        sc2 = interpolate_children_scores(jnp.asarray(scores), kmap27,
+                                          st.valid)
+        new = prune_topk(y2, sc2, keep)
+
+        np.testing.assert_array_equal(np.asarray(old.keys),
+                                      np.asarray(new.keys))
+        np.testing.assert_array_equal(np.asarray(old.coords),
+                                      np.asarray(new.coords))
+        np.testing.assert_allclose(np.asarray(old.feats),
+                                   np.asarray(new.feats), atol=1e-5)
+
+    def test_fast_path_over_capacity_ranking(self):
+        (st, skip, w_up, w_conv, scores, derive_child_kmap,
+         add_skip_into_children, interpolate_children_scores) = \
+            self._setup()
+        kmap27 = kernel_map(st, kernel_offsets(3))
+        y2 = generative_transpose_conv(st, jnp.asarray(w_up), sort=False)
+        sc2 = interpolate_children_scores(jnp.asarray(scores), kmap27,
+                                          st.valid)
+
+        y = generative_transpose_conv(st, jnp.asarray(w_up))
+        score_st = st.with_feats(jnp.asarray(scores)[:, None])
+        sc = interpolate_at(score_st, y.coords.astype(jnp.float32),
+                            y.valid)[:, 0]
+        # interpolated scores agree exactly per coordinate
+        m_old = dict(zip(np.asarray(y.keys).tolist(),
+                         np.asarray(sc).tolist()))
+        m_new = dict(zip(np.asarray(y2.keys).tolist(),
+                         np.asarray(sc2).tolist()))
+        assert set(m_old) == set(m_new)
+        for k in m_old:
+            assert abs(m_old[k] - m_new[k]) < 1e-5
+
+        # cut fewer than the valid children at a tie-free boundary
+        # (exact score ties — symmetric children — break by position
+        # order, which legitimately differs between the two layouts)
+        srt = np.sort(np.asarray(sc))[::-1]
+        keep = next(k for k in range(60, 120)
+                    if srt[k - 1] - srt[k] > 1e-4)
+        new = prune_topk(y2, sc2, keep)
+        old = prune_topk(y, sc, keep)
+        np.testing.assert_array_equal(np.asarray(old.keys),
+                                      np.asarray(new.keys))
+
+
 class TestVmap:
     def test_vmap_over_scenes(self):
         rng = np.random.RandomState(0)
