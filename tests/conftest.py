@@ -21,6 +21,11 @@ import jax  # noqa: E402
 # unit test compiles through the network tunnel.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# Synchronous dispatch: XLA:CPU's async executor runs SPMD partitions on a
+# pool sized by the core count — on a 1-2 core box the 8-partition
+# collective rendezvous starves and CHECK-fails (hard abort, not a Python
+# error).  Inline execution completes collectives immediately.
+jax.config.update("jax_cpu_enable_async_dispatch", False)
 
 # Persist compiled executables across test runs: model compiles dominate
 # the suite's wall clock; a warm cache cuts reruns from ~20 min to ~2.
