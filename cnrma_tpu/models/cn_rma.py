@@ -43,6 +43,7 @@ from cnrma_tpu.models.resnet_fpn import ResNetFPN2D
 from cnrma_tpu.models.tsdf_head import TSDFHead
 from cnrma_tpu.models.unet3d import UNet3D
 from cnrma_tpu.ops.backproject import accumulate_views
+from cnrma_tpu.utils.batching import batch_map
 from cnrma_tpu.ops.ray_marching import (
     RayMarchPoints, ray_march_depth, ray_march_neus)
 
@@ -216,9 +217,9 @@ class CNRMA(nn.Module):
         """Scaled-projection back-projection + mean accumulation."""
         proj = projections.at[..., :2, :].divide(self.backbone2d_stride)
         origin = jnp.asarray(self.origin, jnp.float32)
-        vol, valid = jax.vmap(
+        vol, valid = batch_map(
             lambda p, f, v: accumulate_views(
-                p, f, v, self.voxel_dim, self.voxel_size, origin))(
+                p, f, v, self.voxel_dim, self.voxel_size, origin),
             proj, feats, view_valid)
         return vol, valid
 
@@ -283,8 +284,8 @@ class CNRMA(nn.Module):
                     jnp.take(valid, sel))
 
         rngs = jax.random.split(rng, b)
-        xyz, wts, uv, view, valid = jax.vmap(scene)(
-            proj, tsdf, view_valid, rngs)
+        xyz, wts, uv, view, valid = batch_map(
+            scene, proj, tsdf, view_valid, rngs)
 
         # gather pixel features for surviving points only
         def gather_feats(f_b, uv_b, view_b, valid_b):
@@ -294,7 +295,7 @@ class CNRMA(nn.Module):
             g = jnp.take(f_b.reshape(v * h * w, c), flat_idx, axis=0)
             return jnp.where(valid_b[:, None], g, 0.0)
 
-        pf = jax.vmap(gather_feats)(feats, uv, view, valid)
+        pf = batch_map(gather_feats, feats, uv, view, valid)
         pf = pf * wts[..., None]
         return RayPoints(xyz=xyz, feats=pf, valid=valid)
 
@@ -338,9 +339,9 @@ class CNRMA(nn.Module):
             aug_rng = (self.make_rng("aug")
                        if self.has_rng("aug") else jax.random.PRNGKey(1))
             ft_cfg = dict(self.feature_transform or {})
-            xyz, gt_boxes = jax.vmap(
+            xyz, gt_boxes = batch_map(
                 lambda r, p, bx: feature_transform_aug(
-                    r, p, bx, self.with_yaw, **ft_cfg))(
+                    r, p, bx, self.with_yaw, **ft_cfg),
                 jax.random.split(aug_rng, xyz.shape[0]), xyz, gt_boxes)
 
         level_outs = self.detector(xyz, pts.feats, pts.valid, train=train)
