@@ -175,6 +175,10 @@ class CNRMA(nn.Module):
     # (FrozenBN) per-frame and joint-batch 2D execution are identical, so
     # the builder accepts-and-ignores them (core/builder.py)
     compute_dtype: Any = jnp.float32
+    # mesh axis for cross-device loss reductions (reference reduce_mean,
+    # fcaf3d_head.py:188-198); set by the shard_map train step, None when
+    # the whole batch lives in one program
+    pmean_axis: Optional[str] = None
 
     def setup(self):
         self.tower2d = ResNetFPN2D(output_dim=self.feature_dim,
@@ -350,7 +354,8 @@ class CNRMA(nn.Module):
 
         if gt_boxes is not None:
             det_losses = self.detector.loss(level_outs, gt_boxes,
-                                            gt_labels, gt_valid)
+                                            gt_labels, gt_valid,
+                                            axis_name=self.pmean_axis)
             for k, v in det_losses.items():
                 losses[k] = v * self.loss_weight_detection
         if not train:

@@ -18,6 +18,7 @@ from flax import linen as nn
 
 from cnrma_tpu.models.cn_rma import feature_transform_aug
 from cnrma_tpu.models.fcaf3d import DetectionCapacities, FCAF3DDetector
+from cnrma_tpu.utils.batching import batch_map
 
 
 class FCAF3DOnly(nn.Module):
@@ -32,6 +33,8 @@ class FCAF3DOnly(nn.Module):
     capacities: DetectionCapacities = DetectionCapacities()
     use_feature_transform: bool = True
     feature_transform: Optional[Dict[str, Any]] = None
+    # mesh axis for cross-device loss reductions (see CNRMA.pmean_axis)
+    pmean_axis: Optional[str] = None
 
     def setup(self):
         # same submodule name as CNRMA so params transfer between stages
@@ -56,9 +59,9 @@ class FCAF3DOnly(nn.Module):
             rng = (self.make_rng("aug") if self.has_rng("aug")
                    else jax.random.PRNGKey(0))
             cfg = dict(self.feature_transform or {})
-            pts, gt_boxes = jax.vmap(
+            pts, gt_boxes = batch_map(
                 lambda r, p, bx: feature_transform_aug(
-                    r, p, bx, self.with_yaw, **cfg))(
+                    r, p, bx, self.with_yaw, **cfg),
                 jax.random.split(rng, pts.shape[0]), pts, gt_boxes)
 
         level_outs = self.detector(pts, feats, valid, train=train)
@@ -66,7 +69,8 @@ class FCAF3DOnly(nn.Module):
         losses = {}
         if gt_boxes is not None:
             losses = self.detector.loss(level_outs, gt_boxes, gt_labels,
-                                        gt_valid)
+                                        gt_valid,
+                                        axis_name=self.pmean_axis)
         out["losses"] = losses
         if not train:
             bboxes, scores, bvalid = self.detector.get_bboxes(level_outs)

@@ -14,7 +14,8 @@ design:
 * Downsampling/pooling derive output coordinates by quantize+dedup (sort +
   run-collapse); the generative transposed conv (``up_block``) emits the 8
   deterministic stride-children of each voxel.
-* Everything is per-scene; batching is ``jax.vmap``.
+* Everything is per-scene; batching is ``utils.batching.batch_map``
+  (sequential over scenes — vmapped gathers lower 3-4x slower on TPU).
 
 Weight layout: [K_offsets, Cin, Cout] (same as ME kernels, which eases
 checkpoint conversion).

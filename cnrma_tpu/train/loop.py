@@ -49,16 +49,31 @@ def total_loss(losses: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     return sum(v for k, v in losses.items() if "loss" in k)
 
 
-def make_train_step(model, tx) -> Callable:
-    """Returns jitted ``step(state, batch, rng) -> (state, log_vars)``."""
+def make_train_step(model, tx, mesh=None, axis: str = "data",
+                    donate: bool = True) -> Callable:
+    """Returns jitted ``step(state, batch, rng) -> (state, log_vars)``.
 
-    def step(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
-        rng_sample, rng_aug = jax.random.split(jax.random.fold_in(
-            rng, state.step))
+    With ``mesh`` the gradient computation runs under ``shard_map`` over
+    ``mesh[axis]``: each device executes the model on its LOCAL scene
+    shard (so the per-scene ``batch_map`` bodies stay unbatched and fast)
+    and gradients/losses/BN stats combine with explicit ``pmean`` — the
+    reference's DDP + ``reduce_mean`` semantics (``ray_marching.py:573-587``,
+    ``fcaf3d_head.py:188-198``).  Without ``mesh`` the step is a plain
+    global-batch GSPMD program; its batch axis is traced in
+    ``vmap_batch_mode`` so a device-sharded batch partitions per-op
+    instead of being all-gathered around a sequential scan.
+    """
+    from cnrma_tpu.utils.batching import vmap_batch_mode
+
+    def grads_and_logs(params, batch_stats, batch, rng_sample, rng_aug,
+                       pmean_axis=None):
+        mdl = model
+        if pmean_axis is not None and hasattr(model, "pmean_axis"):
+            mdl = model.clone(pmean_axis=pmean_axis)
 
         def loss_fn(params):
-            out, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+            out, mutated = mdl.apply(
+                {"params": params, "batch_stats": batch_stats},
                 batch, train=True,
                 rngs={"sample": rng_sample, "aug": rng_aug},
                 mutable=["batch_stats"])
@@ -66,7 +81,38 @@ def make_train_step(model, tx) -> Callable:
             return total_loss(losses), (losses, mutated["batch_stats"])
 
         (loss, (losses, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            loss_fn, has_aux=True)(params)
+        return loss, losses, new_stats, grads
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        def per_device(params, batch_stats, batch, rng_sample, rng_aug):
+            # distinct sample/aug streams per device shard
+            ix = jax.lax.axis_index(axis)
+            loss, losses, new_stats, grads = grads_and_logs(
+                params, batch_stats, batch,
+                jax.random.fold_in(rng_sample, ix),
+                jax.random.fold_in(rng_aug, ix), pmean_axis=axis)
+            # DDP gradient mean + cross-rank log averaging; BN running
+            # stats are averaged too (reference leaves them per-rank)
+            pm = lambda t: jax.lax.pmean(t, axis)
+            return pm(loss), pm(losses), pm(new_stats), pm(grads)
+
+        inner = jax.shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(), P()),
+            out_specs=(P(), P(), P(), P()), check_vma=False)
+    else:
+        inner = grads_and_logs
+
+    def step(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
+        rng_sample, rng_aug = jax.random.split(jax.random.fold_in(
+            rng, state.step))
+        with vmap_batch_mode(mesh is None):
+            loss, losses, new_stats, grads = inner(
+                state.params, state.batch_stats, batch, rng_sample,
+                rng_aug)
         new_state = state.apply_gradients(grads, new_stats)
         log_vars = {k: v for k, v in losses.items()}
         log_vars["total_loss"] = loss
@@ -74,7 +120,7 @@ def make_train_step(model, tx) -> Callable:
             lambda a, x: a + jnp.sum(jnp.square(x)), grads, 0.0) ** 0.5
         return new_state, log_vars
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(model) -> Callable:
@@ -117,7 +163,8 @@ def run_training(model, tx, loader, *, epochs: int, state: TrainState,
     """Epoch-based training driver.  ``max_steps`` stops early (smoke
     runs / debugging), checkpointing the final state."""
     mesh = mesh or make_mesh()
-    step_fn = make_train_step(model, tx)
+    step_fn = make_train_step(model, tx,
+                              mesh=mesh if mesh.size > 1 else None)
     logger = TextLogger(work_dir, log_interval)
     rng = jax.random.PRNGKey(seed)
     state = replicate(state, mesh)

@@ -11,8 +11,12 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+    xla_flags += " --xla_force_host_platform_device_count=8"
+if "collective_timeout" not in xla_flags:
+    # XLA:CPU's in-process collective rendezvous CHECK-aborts after ~40 s;
+    # 8 partitions serialized on a 1-core host legitimately take longer
+    xla_flags += " --xla_cpu_collective_timeout_seconds=900"
+os.environ["XLA_FLAGS"] = xla_flags.strip()
 
 import jax  # noqa: E402
 
