@@ -138,26 +138,35 @@ rng = jax.random.PRNGKey(0)
 vars_ = jax.jit(lambda: model.init(
     dict(params=rng, sample=rng, aug=rng), batch, train=False))()
 tx = optax.adamw(1e-3)
-state = TrainState.create(vars_['params'], vars_['batch_stats'], tx)
-state = replicate(state, mesh)
 db = shard_batch(batch, mesh)
-step = make_train_step(model, tx, mesh=mesh if {use_mesh} else None)
-new_state, logs = step(state, db, rng)
-assert int(new_state.step) == 1
-assert np.isfinite(float(logs['total_loss'])), logs
-assert np.isfinite(float(logs['grad_norm'])), logs
-print('STEP_OK', float(logs['total_loss']))
+# both distribution modes in one process (imports + cache-load amortized):
+# the GSPMD global-batch program, then the shard_map DDP step that
+# run_training uses on real hardware
+for mode_mesh in (None, mesh):
+    state = TrainState.create(
+        jax.tree_util.tree_map(jax.numpy.copy, vars_['params']),
+        jax.tree_util.tree_map(jax.numpy.copy, vars_['batch_stats']), tx)
+    state = replicate(state, mesh)
+    step = make_train_step(model, tx, mesh=mode_mesh)
+    new_state, logs = step(state, db, rng)
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(logs['total_loss'])), logs
+    assert np.isfinite(float(logs['grad_norm'])), logs
+    print('STEP_OK', 'shard_map' if mode_mesh is not None else 'gspmd',
+          float(logs['total_loss']), flush=True)
 """
 
 
 class TestMultiDevice:
-    """Each multi-device train step runs in a SUBPROCESS with one retry:
-    XLA:CPU's in-process collective rendezvous hard-aborts (SIGABRT, not
-    a catchable error) when the 4-8 SPMD partitions arrive more than
-    ~40 s apart — a scheduling coin-flip on a 1-2 core host that would
+    """The multi-device train steps run in a SUBPROCESS with retries:
+    XLA:CPU's in-process collective rendezvous intermittently hard-aborts
+    (SIGABRT, not a catchable error) on a 1-2 core host, which would
     otherwise kill the entire pytest process."""
 
-    def _run(self, use_mesh: bool):
+    def test_train_steps_both_modes(self):
+        """Global-batch GSPMD program AND the mesh-aware shard_map step
+        (per-device scene + explicit pmean — the DDP path that
+        run_training uses) on a 4-device mesh."""
         import os
         import subprocess
         import sys
@@ -166,8 +175,7 @@ class TestMultiDevice:
             pytest.skip("needs multiple (virtual) devices")
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         code = _MULTI_DEVICE_STEP.format(
-            repo=repo, tests=os.path.join(repo, "tests"),
-            use_mesh=use_mesh)
+            repo=repo, tests=os.path.join(repo, "tests"))
         env = dict(os.environ, JAX_PLATFORMS="cpu")
         flags = env.get("XLA_FLAGS", "")
         if "host_platform_device_count" not in flags:
@@ -176,26 +184,16 @@ class TestMultiDevice:
             flags += " --xla_cpu_collective_timeout_seconds=900"
         env["XLA_FLAGS"] = flags.strip()
         last = None
-        for _ in range(2):
+        for _ in range(3):
             r = subprocess.run([sys.executable, "-c", code], env=env,
                                capture_output=True, text=True,
                                timeout=1500)
             if r.returncode == 0:
-                assert "STEP_OK" in r.stdout
+                assert r.stdout.count("STEP_OK") == 2
                 return
             last = r
-        pytest.fail(f"multi-device step failed twice: rc="
+        pytest.fail(f"multi-device steps failed 3 times: rc="
                     f"{last.returncode}\n{last.stderr[-2000:]}")
-
-    def test_sharded_train_step(self):
-        """Global-batch GSPMD program on sharded inputs."""
-        self._run(use_mesh=False)
-
-    def test_shard_map_train_step(self):
-        """The mesh-aware shard_map step (per-device scene + explicit
-        pmean — the DDP path, what run_training and the driver dryrun
-        use)."""
-        self._run(use_mesh=True)
 
 
 class TestFeatureTransformAug:
