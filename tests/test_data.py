@@ -29,8 +29,11 @@ def make_synthetic_scannet(root, n_scenes=2, n_frames=6):
             Image.fromarray(
                 rng.randint(0, 255, (968, 1296, 3), np.uint8)).save(
                 os.path.join(posed, fid + ".jpg"))
+            # camera above the voxel grid looking straight down so rays
+            # actually traverse the volume (x right, y flipped, -z view)
             pose = np.eye(4)
-            pose[:3, 3] = [2.0, 2.0, 1.5 + 0.01 * i]
+            pose[:3, :3] = np.diag([1.0, -1.0, -1.0])
+            pose[:3, 3] = [1.0 + 0.02 * i, 1.0, 2.5]
             np.savetxt(os.path.join(posed, fid + ".txt"), pose)
             ids.append(i)
         tsdf_dir = os.path.join(root, "atlas_tsdf", scene)
