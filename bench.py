@@ -38,6 +38,7 @@ def build_bench(scale: str, batch: int = 1):
     from cnrma_tpu.models.cn_rma import CNRMA
     from cnrma_tpu.models.fcaf3d import DetectionCapacities
 
+    yaw = scale == "arkit"
     if scale.startswith("full"):
         # the reference's ScanNet test setting (256x256x96 @ 4cm, 50 views)
         dims = dict(voxel_dim=(256, 256, 96), views=50, h=480, w=640,
@@ -46,6 +47,15 @@ def build_bench(scale: str, batch: int = 1):
                         voxelize=262144, stride2=196608, stride4=131072,
                         levels=(32768, 12288, 4096, 2048),
                         neck=(196608, 65536, 16384)))
+    elif scale == "arkit":
+        # the reference's ARKitScenes test setting: 192x192x80 @ 4 cm,
+        # 40 views, 17 classes, 7-DoF yaw boxes (ray_marching_arkit.py)
+        dims = dict(voxel_dim=(192, 192, 80), views=40, h=480, w=640,
+                    rays_cap=8192, max_points=131072, ray_samples=300,
+                    caps=DetectionCapacities(
+                        voxelize=131072, stride2=98304, stride4=65536,
+                        levels=(16384, 8192, 4096, 2048),
+                        neck=(98304, 32768, 16384)))
     elif scale == "medium":
         dims = dict(voxel_dim=(192, 192, 80), views=40, h=480, w=640,
                     rays_cap=8192, max_points=131072, ray_samples=300,
@@ -62,7 +72,9 @@ def build_bench(scale: str, batch: int = 1):
                         neck=(24576, 16384, 8192)))
 
     model = CNRMA(
-        voxel_dim=dims["voxel_dim"], voxel_size=0.04, n_classes=18,
+        voxel_dim=dims["voxel_dim"], voxel_size=0.04,
+        n_classes=17 if yaw else 18,
+        n_reg_outs=8 if yaw else 6, with_yaw=yaw,
         ray_samples=dims["ray_samples"],
         rays_per_view_cap=dims["rays_cap"],
         max_points=dims["max_points"], capacities=dims["caps"],
@@ -228,7 +240,7 @@ def main():
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] in SCALE_ORDER:
+    if len(sys.argv) > 1 and sys.argv[1] in SCALE_ORDER + ("arkit",):
         print("BENCH_RESULT", run(sys.argv[1]))
     else:
         main()

@@ -22,6 +22,35 @@ import jax
 import jax.numpy as jnp
 
 
+def _project_indices(projection: jnp.ndarray, voxel_dim, voxel_size,
+                     origin: jnp.ndarray, height: int, width: int
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-voxel flat pixel index (clipped in-bounds) + validity mask.
+
+    Matches reference ``backproject``'s round()-then-cast pixel lookup
+    (``ray_marching.py:52-53``).  Returns ([X,Y,Z] int32, [X,Y,Z] bool).
+    """
+    X, Y, Z = voxel_dim
+    xs = jnp.arange(X, dtype=jnp.float32) * voxel_size + origin[0]
+    ys = jnp.arange(Y, dtype=jnp.float32) * voxel_size + origin[1]
+    zs = jnp.arange(Z, dtype=jnp.float32) * voxel_size + origin[2]
+    # camera = P[:, :3] @ world + P[:, 3]; broadcast per-axis to avoid
+    # materializing the [X,Y,Z,3] world grid.
+    cam = (projection[:, 0][None, None, None, :] * xs[:, None, None, None]
+           + projection[:, 1][None, None, None, :] * ys[None, :, None, None]
+           + projection[:, 2][None, None, None, :] * zs[None, None, :, None]
+           + projection[:, 3][None, None, None, :])            # [X,Y,Z,3]
+    pz = cam[..., 2]
+    inv_z = jnp.where(pz != 0, 1.0 / pz, 0.0)
+    px = jnp.round(cam[..., 0] * inv_z).astype(jnp.int32)
+    py = jnp.round(cam[..., 1] * inv_z).astype(jnp.int32)
+    valid = ((px >= 0) & (py >= 0) & (px < width) & (py < height)
+             & (pz > 0))
+    flat_idx = (jnp.clip(py, 0, height - 1) * width
+                + jnp.clip(px, 0, width - 1))
+    return flat_idx, valid
+
+
 def backproject_view(projection: jnp.ndarray,
                      feature: jnp.ndarray,
                      voxel_dim: Sequence[int],
@@ -48,23 +77,8 @@ def backproject_view(projection: jnp.ndarray,
     H, W, C = feature.shape
     dtype = feature.dtype
 
-    xs = jnp.arange(X, dtype=jnp.float32) * voxel_size + origin[0]
-    ys = jnp.arange(Y, dtype=jnp.float32) * voxel_size + origin[1]
-    zs = jnp.arange(Z, dtype=jnp.float32) * voxel_size + origin[2]
-    # camera = P[:, :3] @ world + P[:, 3]; broadcast per-axis to avoid
-    # materializing the [X,Y,Z,3] world grid.
-    cam = (projection[:, 0][None, None, None, :] * xs[:, None, None, None]
-           + projection[:, 1][None, None, None, :] * ys[None, :, None, None]
-           + projection[:, 2][None, None, None, :] * zs[None, None, :, None]
-           + projection[:, 3][None, None, None, :])            # [X,Y,Z,3]
-    pz = cam[..., 2]
-    inv_z = jnp.where(pz != 0, 1.0 / pz, 0.0)
-    # match reference: round() then integer cast (ray_marching.py:52-53)
-    px = jnp.round(cam[..., 0] * inv_z).astype(jnp.int32)
-    py = jnp.round(cam[..., 1] * inv_z).astype(jnp.int32)
-    valid = ((px >= 0) & (py >= 0) & (px < W) & (py < H) & (pz > 0))
-
-    flat_idx = jnp.clip(py, 0, H - 1) * W + jnp.clip(px, 0, W - 1)
+    flat_idx, valid = _project_indices(projection, voxel_dim, voxel_size,
+                                       origin, H, W)
     # The [X*Y*Z, C] gather temp is the memory hot spot: a 32-channel
     # minor dim gets 4x lane padding under TPU (8,128) tiling.  Masking
     # fuses into the reshape to [X, Y, Z*C], whose minor dim is a multiple
@@ -102,7 +116,22 @@ def accumulate_views_partial(projections: jnp.ndarray,
     Returns:
         vol_sum: [X, Y, Z, C] summed per-view volumes (accum_dtype),
         count: [X, Y, Z] number of observing views (accum_dtype).
+
+    Differentiable w.r.t. ``features`` through a custom VJP: autodiff's
+    transpose of the chunked gather scan emits ``view_chunk`` fused
+    scatter-adds per scan body, which the TPU compiler cannot handle at
+    production sizes; the custom backward is one clean per-view
+    scatter-add under its own scan.
     """
+    return _accum_core(tuple(voxel_dim), float(voxel_size),
+                       int(view_chunk), jnp.dtype(accum_dtype).name,
+                       features.shape[1:3],
+                       projections, features, view_valid, origin)
+
+
+def _accum_impl(voxel_dim, voxel_size, view_chunk, accum_dtype_name,
+                projections, features, view_valid, origin):
+    accum_dtype = jnp.dtype(accum_dtype_name)
     X, Y, Z = voxel_dim
     C = features.shape[-1]
     V = features.shape[0]
@@ -139,6 +168,69 @@ def accumulate_views_partial(projections: jnp.ndarray,
     (vol, cnt), _ = jax.lax.scan(body, init,
                                  (projections, features, view_valid))
     return vol.reshape(X, Y, Z, C), cnt
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _accum_core(voxel_dim, voxel_size, view_chunk, accum_dtype_name, hw,
+                projections, features, view_valid, origin):
+    return _accum_impl(voxel_dim, voxel_size, view_chunk,
+                       accum_dtype_name, projections, features,
+                       view_valid, origin)
+
+
+def _accum_core_fwd(voxel_dim, voxel_size, view_chunk, accum_dtype_name,
+                    hw, projections, features, view_valid, origin):
+    out = _accum_impl(voxel_dim, voxel_size, view_chunk, accum_dtype_name,
+                      projections, features, view_valid, origin)
+    # dtype carried by a zero-size array (dtype objects are not pytree
+    # leaves); H/W are the static ``hw`` nondiff arg
+    res = (projections, view_valid, origin,
+           jnp.zeros((0,), features.dtype))
+    return out, res
+
+
+def _accum_core_bwd(voxel_dim, voxel_size, view_chunk, accum_dtype_name,
+                    hw, res, g):
+    """d vol_sum / d features: for every valid view v,
+    g_feat[v, p] = sum over voxels i with pixel(v, i) == p of g_vol[i].
+
+    One scatter-add per view under ``lax.scan`` (a single scatter
+    instruction in the program); invalid voxels route to a sentinel row
+    that is sliced away.  Projections/origin carry no gradient (camera
+    geometry is data, reference semantics) and view_valid is boolean.
+    """
+    import numpy as _np
+
+    accum_dtype = jnp.dtype(accum_dtype_name)
+    projections, view_valid, origin, fdtype_carrier = res
+    fdtype = fdtype_carrier.dtype
+    g_vol, _g_cnt = g                               # count: no feat grad
+    H, W = hw
+    C = g_vol.shape[-1]
+    g_rows = g_vol.reshape(-1, C).astype(accum_dtype)     # [XYZ, C]
+    sentinel = H * W
+
+    def body(_, pv):
+        p, ok = pv
+        flat, valid = _project_indices(p, voxel_dim, voxel_size, origin,
+                                       H, W)
+        tgt = jnp.where(valid.reshape(-1), flat.reshape(-1), sentinel)
+        tbl = jnp.zeros((H * W + 1, C), accum_dtype)
+        tbl = tbl.at[tgt].add(g_rows)
+        okf = ok.astype(accum_dtype)
+        return None, (tbl[:H * W] * okf).reshape(H, W, C).astype(fdtype)
+
+    _, g_feats = jax.lax.scan(body, None, (projections, view_valid))
+    g_proj = jnp.zeros_like(projections)
+    g_valid = _np.zeros(view_valid.shape, jax.dtypes.float0)
+    g_origin = jnp.zeros_like(origin)
+    return g_proj, g_feats, g_valid, g_origin
+
+
+_accum_core.defvjp(_accum_core_fwd, _accum_core_bwd)
 
 
 def _normalize_volume(vol_sum: jnp.ndarray, cnt: jnp.ndarray, dtype
