@@ -28,10 +28,12 @@ def _build_capacities(caps_cfg) -> DetectionCapacities:
         neck=tuple(caps_cfg["neck"]))
 
 
-def build_model(cfg, mode: str = "train"):
+def build_model(cfg, mode: str = "train", view_mesh=None):
     """cfg: full Config (or dict with a ``model`` key).  mode selects the
     train/test voxel grid (``voxel_dim_train`` vs ``voxel_dim_test``,
-    reference ``ray_marching.py:412,459``)."""
+    reference ``ray_marching.py:412,459``).  ``view_mesh``: optional Mesh
+    with a 'view' axis — shards volume accumulation over views
+    (tools/test.py --view-shard)."""
     m = cfg["model"] if "model" in cfg.keys() else cfg
     model_type = m.get("type", "RayMarching")
 
@@ -94,6 +96,16 @@ def build_model(cfg, mode: str = "train"):
         ray_samples=m.get("ray_samples", 300),
         rays_per_view_cap=m.get("rays_per_view_cap", 32768),
         max_points=m.get("max_points", 500000),
+        # TPU-only empty-space-skipping knobs (ops/ray_marching.py); 0
+        # disables and reproduces the reference's dense 300-sample march
+        ray_skip_factor=m.get("ray_skip_factor", 8),
+        ray_skip_window=m.get("ray_skip_window", 48),
+        ray_skip_coarse_step=m.get("ray_skip_coarse_step", 4),
+        # TPU-only frustum-tile-culling knobs (ops/backproject.py); 0
+        # tile disables and reproduces the dense per-voxel gather
+        bp_tile=m.get("bp_tile", 8),
+        bp_tile_frac=m.get("bp_tile_frac", 0.5),
+        view_mesh=view_mesh,
         n_classes=head.get("n_classes", 18),
         n_reg_outs=head.get("n_reg_outs", 6),
         with_yaw=bool(loss_bbox.get("with_yaw", False)),

@@ -45,7 +45,7 @@ from cnrma_tpu.models.unet3d import UNet3D
 from cnrma_tpu.ops.backproject import accumulate_views
 from cnrma_tpu.utils.batching import batch_map
 from cnrma_tpu.ops.ray_marching import (
-    RayMarchPoints, ray_march_depth, ray_march_neus)
+    RayMarchPoints, build_occupancy, ray_march_depth, ray_march_neus)
 
 
 class RayPoints(NamedTuple):
@@ -153,6 +153,27 @@ class CNRMA(nn.Module):
     ray_samples: int = 300
     rays_per_view_cap: int = 32768
     max_points: int = 500000
+    # empty-space skipping (neus only): coarse occupancy pre-march; 0
+    # disables.  The fine TSDF gather — the measured ray-march wall — runs
+    # on a ``ray_skip_window``-sample window around the first surface
+    # band instead of all ``ray_samples`` (ops/ray_marching.py).
+    ray_skip_factor: int = 8
+    ray_skip_window: int = 48
+    ray_skip_coarse_step: int = 4
+    # frustum-tile culling for volume accumulation (ops/backproject.py):
+    # per view only the bp_tile_frac fraction of bp_tile³ voxel tiles with
+    # the most in-frustum voxels are gathered.  Exact whenever each view's
+    # frustum covers <= that fraction of the grid (measured ~35% at the
+    # full ScanNet setting); only applied to grids of >= 4096 tiles so
+    # small test/entry grids keep the dense path.  0 disables.
+    bp_tile: int = 8
+    bp_tile_frac: float = 0.5
+    # view-parallel volume accumulation (SURVEY.md §5): a Mesh with a
+    # 'view' axis shards the view loop across devices and combines the
+    # (volume, count) partials with one psum over ICI — the multi-chip
+    # latency path for single-scene inference (tools/test.py
+    # --view-shard).  None = single-device lax.scan over views.
+    view_mesh: Optional[Any] = None
     # detection
     detection: bool = True
     n_classes: int = 18
@@ -221,9 +242,38 @@ class CNRMA(nn.Module):
         """Scaled-projection back-projection + mean accumulation."""
         proj = projections.at[..., :2, :].divide(self.backbone2d_stride)
         origin = jnp.asarray(self.origin, jnp.float32)
+        if self.view_mesh is not None:
+            from cnrma_tpu.ops.backproject import (
+                accumulate_views_view_sharded)
+            n = self.view_mesh.shape["view"]
+            pad = (-feats.shape[1]) % n
+            if pad:       # pad views to the shard count with invalid rows
+                proj = jnp.concatenate(
+                    [proj, jnp.repeat(proj[:, :1], pad, axis=1)], axis=1)
+                feats = jnp.concatenate(
+                    [feats, jnp.zeros_like(
+                        jnp.repeat(feats[:, :1], pad, axis=1))], axis=1)
+                view_valid = jnp.concatenate(
+                    [view_valid,
+                     jnp.zeros((view_valid.shape[0], pad), bool)], axis=1)
+            return batch_map(
+                lambda p, f, v: accumulate_views_view_sharded(
+                    self.view_mesh, p, f, v, self.voxel_dim,
+                    self.voxel_size, origin),
+                proj, feats, view_valid)
+        tile, tile_cap = 0, 0
+        if self.bp_tile > 0 and all(d % self.bp_tile == 0
+                                    for d in self.voxel_dim):
+            n_tiles = 1
+            for d in self.voxel_dim:
+                n_tiles *= d // self.bp_tile
+            if n_tiles >= 4096:
+                tile = self.bp_tile
+                tile_cap = max(1, int(round(self.bp_tile_frac * n_tiles)))
         vol, valid = batch_map(
             lambda p, f, v: accumulate_views(
-                p, f, v, self.voxel_dim, self.voxel_size, origin),
+                p, f, v, self.voxel_dim, self.voxel_size, origin,
+                tile=tile, tile_capacity=tile_cap),
             proj, feats, view_valid)
         return vol, valid
 
@@ -250,19 +300,31 @@ class CNRMA(nn.Module):
         tsdf = jax.lax.stop_gradient(tsdf004)
         origin = jnp.asarray(self.origin, jnp.float32)
 
+        use_skip = (self.ray_marching_type == "neus"
+                    and self.ray_skip_factor > 0
+                    and self.ray_samples > self.ray_skip_window
+                    and all(dim % self.ray_skip_factor == 0
+                            for dim in self.voxel_dim))
         march = (partial(ray_march_neus,
-                         weight_threshold=self.neus_threshold)
+                         weight_threshold=self.neus_threshold,
+                         skip_factor=self.ray_skip_factor,
+                         skip_window=self.ray_skip_window,
+                         coarse_step=self.ray_skip_coarse_step)
                  if self.ray_marching_type == "neus"
                  else partial(ray_march_depth,
                               depth_points=self.depth_points))
 
         def scene(proj_b, tsdf_b, valid_b, rng_b):
+            occ = (build_occupancy(tsdf_b, self.ray_skip_factor)
+                   if use_skip else None)
+
             def per_view(pv):
                 p, idx = pv
+                extra = {"occupancy": occ} if use_skip else {}
                 pts = march(p, tsdf_b, self.voxel_dim, self.voxel_size,
                             origin, h, w, view_index=idx,
                             n_samples=self.ray_samples,
-                            capacity=self.rays_per_view_cap)
+                            capacity=self.rays_per_view_cap, **extra)
                 keep_w = jnp.where(valid_b[idx], pts.weight, 0.0)
                 return RayMarchPoints(pts.xyz, keep_w, pts.uv, pts.view)
 

@@ -117,6 +117,52 @@ def _select_topk(weights: jnp.ndarray, capacity: int) -> jnp.ndarray:
     return sel
 
 
+def _shift_pool(x: jnp.ndarray, op) -> jnp.ndarray:
+    """3³ neighborhood pool (edge-replicated) via three 1-D passes."""
+    for ax in range(3):
+        pre = (slice(None),) * ax
+        lo = jnp.concatenate([x[pre + (slice(1, None),)],
+                              x[pre + (slice(-1, None),)]], axis=ax)
+        hi = jnp.concatenate([x[pre + (slice(0, 1),)],
+                              x[pre + (slice(0, -1),)]], axis=ax)
+        x = op(x, op(lo, hi))
+    return x
+
+
+def build_occupancy(tsdf: jnp.ndarray, factor: int,
+                    delta: float = 0.04) -> jnp.ndarray:
+    """Coarse 'can produce NeuS weight' grid for empty-space skipping.
+
+    A per-sample weight >= threshold needs a single-step sigmoid drop,
+    i.e. a TSDF increase of >= ~0.07 between samples ~1 voxel apart
+    (``neus_weights``; threshold 0.05 -> log-sigmoid drop 0.051 with
+    |d log sig(-t)/dt| <= 0.73).  Any such pair lies inside one coarse
+    cell or spans a cell face, so a cell is marked occupied iff the TSDF
+    RANGE over its 3³ cell neighborhood exceeds ``delta`` (conservative:
+    < the 0.07 minimum).  This also catches hard clamped boundaries
+    (-1 | +1 observed/unobserved transitions) that a |tsdf|-band test
+    would miss — the reference's dense march emits weight there too.
+    The neighborhood pool inherently marks one cell of margin around any
+    weight-producing region, so the occupied thickness along a ray is
+    >= 3 cells (24 voxels at factor 8) — a coarse march stepping
+    ``coarse_step`` fine voxels (default 4), even offset by the
+    half-cell round()-lookup error, cannot skip it.
+
+    Returns: float32 [X/f, Y/f, Z/f] (1.0 = may produce weight).
+    """
+    X, Y, Z = tsdf.shape
+    f = factor
+    if X % f or Y % f or Z % f:
+        raise ValueError(f"voxel_dim {tsdf.shape} not divisible by "
+                         f"skip factor {f}")
+    t = tsdf.reshape(X // f, f, Y // f, f, Z // f, f)
+    cmin = t.min(axis=(1, 3, 5))
+    cmax = t.max(axis=(1, 3, 5))
+    nmin = _shift_pool(cmin, jnp.minimum)
+    nmax = _shift_pool(cmax, jnp.maximum)
+    return (nmax - nmin > delta).astype(jnp.float32)
+
+
 def neus_weights(tsdf_samples: jnp.ndarray) -> jnp.ndarray:
     """NeuS-style occupancy weights along the last (sample) axis.
 
@@ -143,7 +189,11 @@ def ray_march_neus(projection: jnp.ndarray,
                    view_index,
                    n_samples: int = 300,
                    weight_threshold: float = 0.05,
-                   capacity: int = 32768) -> RayMarchPoints:
+                   capacity: int = 32768,
+                   occupancy: jnp.ndarray = None,
+                   skip_factor: int = 8,
+                   skip_window: int = 48,
+                   coarse_step: int = 4) -> RayMarchPoints:
     """March all pixels of one view through the TSDF, NeuS weighting.
 
     Args:
@@ -152,6 +202,16 @@ def ray_march_neus(projection: jnp.ndarray,
         voxel_dim: static (X, Y, Z) — matches tsdf.shape.
         view_index: scalar int — recorded per emitted point.
         capacity: max points kept for this view (fixed shape).
+        occupancy: optional ``build_occupancy(tsdf, skip_factor)`` grid.
+            When given, empty-space skipping is on: a coarse pre-march
+            (every ``coarse_step`` fine steps, gathering from the tiny
+            occupancy table) locates the first surface band per ray and
+            only a ``skip_window``-sample fine window is TSDF-sampled
+            there — cutting the 5.76M/view fine gathers (the ray-march
+            wall) ~2.5x.  Approximation vs the dense march: transmittance
+            is treated as 1 before the window (alphas vanish in clamped
+            empty space) and bands after the first window are dropped
+            (their transmittance is usually < threshold).
 
     Returns:
         RayMarchPoints with fixed capacity; weight==0 marks empty slots.
@@ -160,27 +220,58 @@ def ray_march_neus(projection: jnp.ndarray,
     HW = height * width
     o, d = get_ray_parameters(projection, height, width)
 
-    t_max = math.sqrt(X * X + Y * Y + Z * Z) * voxel_size
-    ts = jnp.arange(n_samples, dtype=jnp.float32) * (t_max / n_samples)
+    t_one = math.sqrt(X * X + Y * Y + Z * Z) * voxel_size / n_samples
+    ts = jnp.arange(n_samples, dtype=jnp.float32) * t_one
 
-    places = o[None, None, :] + d[:, None, :] * ts[None, :, None]  # [HW,N,3]
-    flat_places = places.reshape(HW * n_samples, 3)
-    tsdf_vals, valid = _sample_tsdf(tsdf, flat_places, origin, voxel_size)
-
-    w = neus_weights(tsdf_vals.reshape(HW, n_samples))
-    keep = valid.reshape(HW, n_samples) & (w >= weight_threshold)
-    w = jnp.where(keep, w, 0.0)
+    if occupancy is None or n_samples <= skip_window:
+        places = o[None, None, :] + d[:, None, :] * ts[None, :, None]
+        flat_places = places.reshape(HW * n_samples, 3)
+        tsdf_vals, valid = _sample_tsdf(tsdf, flat_places, origin,
+                                        voxel_size)
+        w = neus_weights(tsdf_vals.reshape(HW, n_samples))
+        keep = valid.reshape(HW, n_samples) & (w >= weight_threshold)
+        w = jnp.where(keep, w, 0.0)
+        window, start = n_samples, None
+    else:
+        window = skip_window
+        # coarse pass: sample the occupancy grid every ``coarse_step``
+        # fine steps; the dilated band cannot be missed while the step
+        # stays below one coarse cell edge
+        n_coarse = (n_samples + coarse_step - 1) // coarse_step
+        tc = (jnp.arange(n_coarse, dtype=jnp.float32) * coarse_step
+              + coarse_step * 0.5) * t_one
+        places_c = o[None, None, :] + d[:, None, :] * tc[None, :, None]
+        occ_vals, occ_valid = _sample_tsdf(
+            occupancy, places_c.reshape(HW * n_coarse, 3), origin,
+            voxel_size * skip_factor)
+        hit = (jnp.where(occ_valid, occ_vals, 0.0)
+               .reshape(HW, n_coarse) > 0.5)
+        has_hit = jnp.any(hit, axis=1)                       # [HW]
+        j0 = jnp.argmax(hit, axis=1)                         # first band
+        # fine window starts one coarse step before the band entry
+        start = jnp.clip(j0 * coarse_step - coarse_step, 0,
+                         max(n_samples - window, 0)).astype(jnp.int32)
+        idx = start[:, None] + jnp.arange(window, dtype=jnp.int32)[None]
+        ts_f = idx.astype(jnp.float32) * t_one               # [HW, W]
+        places = (o[None, None, :]
+                  + d[:, None, :] * ts_f[:, :, None])        # [HW, W, 3]
+        tsdf_vals, valid = _sample_tsdf(tsdf, places.reshape(-1, 3),
+                                        origin, voxel_size)
+        w = neus_weights(tsdf_vals.reshape(HW, window))
+        keep = (valid.reshape(HW, window) & (w >= weight_threshold)
+                & has_hit[:, None])
+        w = jnp.where(keep, w, 0.0)
 
     # Per-ray top-K pre-selection — EXACT: NeuS weights along a ray sum to
     # 1 - prod(1-alpha) <= 1, so at most floor(1/threshold) samples can be
     # >= threshold; the top-K by weight therefore contains every kept
     # sample.  This shrinks the compaction input from HW*n_samples (5.76M)
     # to HW*K (384k), which dominates the op's cost on TPU.
-    k_max = min(n_samples, max(1, math.ceil(1.0 / weight_threshold)))
+    k_max = min(window, max(1, math.ceil(1.0 / weight_threshold)))
     wk, sk = jax.lax.top_k(w, k_max)                     # [HW, K]
     keep_k = wk >= weight_threshold                      # w==0 elsewhere
     ray_id = jax.lax.broadcasted_iota(jnp.int32, (HW, k_max), 0)
-    flat_k = ray_id * n_samples + sk                     # original index
+    flat_k = ray_id * window + sk                        # window-local
 
     # weight-ranked selection of the flat sample index only; rebuild the
     # payload for the <= capacity survivors (xyz from the ray equation, uv
@@ -189,11 +280,13 @@ def ray_march_neus(projection: jnp.ndarray,
     sel = _select_topk(w_flat, capacity)                 # [cap] into HW*K
     ok = sel >= 0
     sel_c = jnp.where(ok, sel, 0)
-    src = jnp.take(flat_k.reshape(-1), sel_c)            # index into HW*N
-    pix = src // n_samples
-    smp = src - pix * n_samples
+    src = jnp.take(flat_k.reshape(-1), sel_c)            # index into HW*W
+    pix = src // window
+    smp = src - pix * window
+    if start is not None:
+        smp = smp + jnp.take(start, pix)                 # global sample id
     d_sel = jnp.take(d, pix, axis=0)                     # [cap,3]
-    xyz_c = o[None, :] + d_sel * jnp.take(ts, smp)[:, None]
+    xyz_c = o[None, :] + d_sel * (smp.astype(jnp.float32) * t_one)[:, None]
     w_c = jnp.where(ok, jnp.take(wk.reshape(-1), sel_c), 0.0)
     uv_c = jnp.stack([pix % width, pix // width], axis=1).astype(jnp.int32)
     uv_c = jnp.where(ok[:, None], uv_c, 0)

@@ -88,6 +88,62 @@ class TestBackproject:
         np.testing.assert_array_equal(np.asarray(got_ok),
                                       np.asarray(ref_ok))
 
+    def test_tiled_matches_dense(self):
+        """Frustum-tile culling must reproduce the dense path exactly
+        (forward AND feature gradients) when the in-frustum tile count
+        fits the capacity."""
+        rng = np.random.RandomState(1)
+        V, H, W, C = 3, 12, 16, 4
+        dim = (16, 16, 8)          # 2x2x1 = 4 tiles of 8^3
+        feats = jnp.asarray(rng.rand(V, H, W, C).astype(np.float32))
+        proj = simple_projection()
+        projs = jnp.asarray(np.stack([proj] * V))
+        valid = jnp.array([True, True, False])
+        origin = jnp.array([-1.9, -0.1, 0.1])  # frustum covers ~1 tile col
+        args = (projs, feats, valid, dim, 0.25, origin)
+
+        dense = accumulate_views(*args)
+        tiled = accumulate_views(*args, tile=8, tile_capacity=2)
+        np.testing.assert_allclose(np.asarray(tiled[0]),
+                                   np.asarray(dense[0]), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(tiled[1]),
+                                      np.asarray(dense[1]))
+
+        def loss(fn):
+            def f(feats_):
+                vol, _ = fn(projs, feats_, valid, dim, 0.25, origin)
+                return jnp.sum(vol * vol) + jnp.sum(vol)
+            return jax.grad(f)(feats)
+        g_dense = loss(lambda *a: accumulate_views(*a))
+        g_tiled = loss(lambda *a: accumulate_views(*a, tile=8,
+                                                   tile_capacity=2))
+        np.testing.assert_allclose(np.asarray(g_tiled),
+                                   np.asarray(g_dense), atol=1e-5)
+
+    def test_tiled_overflow_keeps_fullest_tiles(self):
+        """Over capacity, the fullest tiles win and dropped tiles lose
+        only that view's contribution (count stays consistent with the
+        kept tiles — no garbage values)."""
+        rng = np.random.RandomState(2)
+        H, W, C = 12, 16, 2
+        dim = (16, 16, 8)
+        feats = jnp.asarray(rng.rand(1, H, W, C).astype(np.float32))
+        proj = simple_projection()
+        projs = jnp.asarray(proj[None])
+        valid = jnp.array([True])
+        origin = jnp.array([-2.0, -2.0, 0.1])   # frustum spans all tiles
+        dense_vol, dense_ok = accumulate_views(
+            projs, feats, valid, dim, 0.25, origin)
+        tiled_vol, tiled_ok = accumulate_views(
+            projs, feats, valid, dim, 0.25, origin, tile=8,
+            tile_capacity=1)
+        dv, tv = np.asarray(dense_vol), np.asarray(tiled_vol)
+        dok, tok = np.asarray(dense_ok), np.asarray(tiled_ok)
+        assert tok.sum() < dok.sum() and tok.sum() > 0
+        # kept voxels match the dense result exactly
+        np.testing.assert_allclose(tv[tok], dv[tok], atol=1e-6)
+        assert not tv[~tok].any()
+
     def test_padded_view_ignored(self):
         H, W, C = 12, 16, 2
         proj = simple_projection()
@@ -238,6 +294,62 @@ class TestRayMarching:
         full_rows = np.asarray(full.uv)[fw > 0][:, 1]
         assert rows.max() >= full_rows.max() - 1
 
+    def test_occupancy_marks_bands_and_hard_jumps(self):
+        from cnrma_tpu.ops.ray_marching import build_occupancy
+        n, f = 32, 4
+        # smooth wall band at voxels 14..18 (z=2.0, vs 0.125): coarse
+        # cells 3-4 vary, the neighborhood range marks 2..5; far cells
+        # 0-1 and 6-7 must stay empty (that's the skipped space)
+        z = np.arange(n) * 0.125
+        tsdf = np.broadcast_to(
+            np.clip((z - 2.0) / 0.375, -1, 1)[None, None, :],
+            (n, n, n)).copy().astype(np.float32)
+        occ = np.asarray(build_occupancy(jnp.asarray(tsdf), f))
+        assert occ.shape == (8, 8, 8)
+        assert occ[:, :, 2:6].all()
+        assert not occ[:, :, :2].any() and not occ[:, :, 6:].any()
+        # hard clamped jump exactly at a coarse-cell boundary (-1 | +1
+        # observed/unobserved transition, no |t|<1 band at all) must
+        # still be detected — it produces NeuS weight in a dense march
+        hard = np.where(z[None, None, :] < 2.0, -1.0,
+                        1.0).astype(np.float32)
+        hard = np.broadcast_to(hard, (n, n, n)).copy()
+        occ2 = np.asarray(build_occupancy(jnp.asarray(hard), f))
+        assert occ2[:, :, 3].all() and occ2[:, :, 4].all()
+        assert not occ2[:, :, :2].any() and not occ2[:, :, 6:].any()
+
+    def test_ray_march_neus_skip_matches_dense(self):
+        """Empty-space skipping must keep the dense march's point set on a
+        single-surface scene (transmittance is exactly 1 ahead of the
+        band, so windowed weights equal dense weights)."""
+        from cnrma_tpu.ops.ray_marching import build_occupancy
+        n, vs = 32, 0.0625
+        z = np.arange(n) * vs
+        tsdf = np.broadcast_to(
+            np.clip((z - 1.0) / (3 * vs), -1, 1)[None, None, :],
+            (n, n, n)).copy().astype(np.float32)
+        origin = jnp.array([-1.0, -0.75, 0.0])
+        proj = jnp.asarray(simple_projection())
+        kw = dict(voxel_dim=(n, n, n), voxel_size=vs, origin=origin,
+                  height=12, width=16, view_index=0, n_samples=96,
+                  weight_threshold=0.05, capacity=4096)
+        dense = ray_march_neus(proj, jnp.asarray(tsdf), **kw)
+        occ = build_occupancy(jnp.asarray(tsdf), 8)
+        skip = ray_march_neus(proj, jnp.asarray(tsdf), occupancy=occ,
+                              skip_factor=8, skip_window=48,
+                              coarse_step=4, **kw)
+        dw, sw = np.asarray(dense.weight), np.asarray(skip.weight)
+        assert (dw > 0).sum() > 50
+        assert (sw > 0).sum() == (dw > 0).sum()
+
+        def key(pts, w):
+            xyz = np.asarray(pts.xyz)[w > 0]
+            return np.array(sorted(map(tuple, np.round(xyz, 4))))
+        np.testing.assert_allclose(key(dense, dw), key(skip, sw),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.sort(sw[sw > 0]),
+                                   np.sort(dw[dw > 0]), rtol=1e-5)
+
     def test_ray_march_depth_wall(self):
         n, vs = 16, 0.125
         z = (np.arange(n) * vs)
@@ -374,3 +486,40 @@ class TestLosses:
         out = np.asarray(log_transform(x))
         np.testing.assert_allclose(out, [-np.log(3), 0, np.log(3)],
                                    atol=1e-4)  # XLA CPU log1p tolerance
+
+
+class TestViewMeshModelPath:
+    def test_build_volume_view_mesh_pads_and_matches(self):
+        """The production caller (CNRMA.build_volume with ``view_mesh``,
+        wired via ``tools/test.py --view-shard``) must equal the dense
+        path, including the pad-to-shard-count branch (V=6 on 8
+        devices)."""
+        import jax
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from cnrma_tpu.models.cn_rma import CNRMA
+        from cnrma_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.RandomState(3)
+        B, V, H, W, C = 1, 6, 6, 8, 4
+        dim = (8, 8, 8)
+        feats = jnp.asarray(rng.rand(B, V, H, W, C).astype(np.float32))
+        projs = []
+        for i in range(V):
+            K = np.array([[8.0, 0, W / 2], [0, 8.0, H / 2], [0, 0, 1]])
+            E = np.eye(4)
+            E[:3, 3] = [0.1 * i - 0.25, -0.1, -1.0]
+            projs.append((K @ np.linalg.inv(E)[:3]).astype(np.float32))
+        projs = jnp.asarray(np.stack(projs))[None]
+        valid = jnp.ones((B, V), bool)
+
+        kw = dict(voxel_dim=dim, voxel_size=0.2, backbone2d_stride=1,
+                  detection=False)
+        dense = CNRMA(**kw).bind({}).build_volume(feats, projs, valid)
+        mesh = make_mesh(8, axis_names=("view",))
+        sharded = CNRMA(**kw, view_mesh=mesh).bind({}).build_volume(
+            feats, projs, valid)
+        np.testing.assert_allclose(np.asarray(sharded[0]),
+                                   np.asarray(dense[0]), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(sharded[1]),
+                                      np.asarray(dense[1]))

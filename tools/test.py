@@ -34,6 +34,11 @@ def parse_args():
     p.add_argument("--middle-save-path")
     p.add_argument("--middle-visualize-path",
                    help="also dump the ray-marched points as .ply")
+    p.add_argument("--view-shard", action="store_true",
+                   help="shard volume accumulation over views across all "
+                        "visible devices (one psum over ICI) — the "
+                        "multi-chip latency path for single-scene "
+                        "inference (SURVEY.md §5)")
     p.add_argument("--max-scenes", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cfg-options", nargs="+", default=[])
@@ -71,7 +76,18 @@ def main():
     dataset = build_dataset(cfg, "test", seed=args.seed)
     loader = SceneLoader(dataset, batch_size=1, shuffle=False,
                          num_workers=2)
-    model = build_model(cfg, mode="test")
+    view_mesh = None
+    if args.view_shard:
+        devs = jax.devices()
+        if len(devs) > 1:
+            from jax.sharding import Mesh
+            view_mesh = Mesh(np.asarray(devs), ("view",))
+            print(f"view-sharding volume accumulation over "
+                  f"{len(devs)} devices")
+        else:
+            print("WARNING: --view-shard needs >1 device; running "
+                  "single-device")
+    model = build_model(cfg, mode="test", view_mesh=view_mesh)
 
     sample = device_batch(next(iter(loader)))
     rng = jax.random.PRNGKey(args.seed)
