@@ -37,21 +37,32 @@ def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
-    """device_put every array leaf with its leading axis sharded."""
-    sh = NamedSharding(mesh, P(axis))
+    """device_put every array leaf with its leading axis sharded.
 
-    def put(x):
-        if isinstance(x, (np.ndarray, jnp.ndarray)) and np.ndim(x) >= 1:
-            return jax.device_put(x, sh)
-        return x
-    return jax.tree_util.tree_map(put, batch)
+    One batched ``device_put`` call for the whole tree: per-leaf puts
+    dispatch a transfer each (measured 30+ s for a full train state's
+    ~1k leaves on a 1-core host vs <1 s batched).
+    """
+    return _batched_put(
+        batch, NamedSharding(mesh, P(axis)),
+        lambda x: isinstance(x, (np.ndarray, jnp.ndarray))
+        and np.ndim(x) >= 1)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    sh = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sh) if hasattr(x, "shape") else x,
-        tree)
+    """Replicate every array leaf across the mesh (single batched put)."""
+    return _batched_put(tree, NamedSharding(mesh, P()),
+                        lambda x: hasattr(x, "shape"))
+
+
+def _batched_put(tree: Any, sh: NamedSharding, want) -> Any:
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    idx = [i for i, x in enumerate(leaves) if want(x)]
+    moved = jax.device_put([leaves[i] for i in idx], [sh] * len(idx))
+    out = list(leaves)
+    for i, m in zip(idx, moved):
+        out[i] = m
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def view_psum_volume(accumulate_fn, axis_name: str = "view"):

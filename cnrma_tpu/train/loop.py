@@ -50,7 +50,7 @@ def total_loss(losses: Dict[str, jnp.ndarray]) -> jnp.ndarray:
 
 
 def make_train_step(model, tx, mesh=None, axis: str = "data",
-                    donate: bool = True) -> Callable:
+                    donate: bool = True, split: bool = False) -> Callable:
     """Returns jitted ``step(state, batch, rng) -> (state, log_vars)``.
 
     With ``mesh`` the gradient computation runs under ``shard_map`` over
@@ -62,6 +62,21 @@ def make_train_step(model, tx, mesh=None, axis: str = "data",
     global-batch GSPMD program; its batch axis is traced in
     ``vmap_batch_mode`` so a device-sharded batch partitions per-op
     instead of being all-gathered around a sequential scan.
+
+    ``split=True`` (requires ``mesh``) separates the step into TWO
+    compiled programs: a collective-free ``shard_map`` that leaves each
+    device's (loss, losses, batch_stats, grads) stacked along a sharded
+    leading device axis, and a tiny reduce+update program whose mean over
+    that axis is the only cross-device collective (DDP with a separate
+    gradient-bucket all-reduce, rather than a fused one).  The heavy
+    program contains NO collectives, so runtimes whose in-program
+    rendezvous is fragile under load (XLA:CPU's hard 40 s deadline on a
+    1-core host — see ``__graft_entry__.dryrun_multichip``) cannot
+    deadlock in it.  Semantics vs the fused step: identical gradient /
+    log-var / BN means; only the detection loss's cross-rank
+    positive-count normalization (``fcaf3d_head.py:188-198``) stays
+    per-device, i.e. unsynced — the same approximation single-GPU
+    training makes.
     """
     from cnrma_tpu.utils.batching import vmap_batch_mode
 
@@ -83,6 +98,12 @@ def make_train_step(model, tx, mesh=None, axis: str = "data",
         (loss, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
         return loss, losses, new_stats, grads
+
+    if split:
+        if mesh is None:
+            raise ValueError("split=True requires a mesh")
+        return _make_split_train_step(model, tx, mesh, axis,
+                                      grads_and_logs, donate)
 
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
@@ -123,9 +144,94 @@ def make_train_step(model, tx, mesh=None, axis: str = "data",
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def _flatten_bucket(tree) -> jnp.ndarray:
+    """Ravel every leaf to one f32 vector (DDP-style gradient bucket)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.concatenate(
+        [jnp.ravel(x).astype(jnp.float32) for x in leaves]) \
+        if leaves else jnp.zeros((0,), jnp.float32)
+
+
+def _unflatten_bucket(tree_like, flat: jnp.ndarray):
+    """Inverse of ``_flatten_bucket`` against a shape/dtype template."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree_like)
+    out, off = [], 0
+    for x in leaves:
+        n = int(np.prod(x.shape)) if x.shape else 1
+        out.append(flat[off:off + n].reshape(x.shape).astype(x.dtype))
+        off += n
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _make_split_train_step(model, tx, mesh, axis, grads_and_logs,
+                           donate) -> Callable:
+    """Two-program DDP step (see ``make_train_step(split=True)``).
+
+    Program 1 (heavy, collective-FREE): ``shard_map`` computes each
+    device's grads/losses/BN stats and flattens them into one f32 bucket
+    per device — stacked along a sharded leading axis.  Program 2 (tiny):
+    means the bucket over the device axis — exactly ONE all-reduce, the
+    DDP single-bucket layout — then unflattens and applies the
+    optimizer.  One rendezvous point per step keeps XLA:CPU's in-process
+    collectives robust (a per-leaf mean emits ~1k all-reduces whose
+    serialized rendezvous on a 1-core host trips the hard 40 s
+    deadline — observed), and on real hardware one fused all-reduce
+    rides ICI better than a thousand small ones.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def per_device(params, batch_stats, batch, rng_sample, rng_aug):
+        ix = jax.lax.axis_index(axis)
+        loss, losses, new_stats, grads = grads_and_logs(
+            params, batch_stats, batch,
+            jax.random.fold_in(rng_sample, ix),
+            jax.random.fold_in(rng_aug, ix))
+        bucket = _flatten_bucket({"stats": new_stats, "grads": grads})
+        # the ~1k-leaf grads/stats travel as ONE bucket; the handful of
+        # scalar log vars stay a dict (a few extra tiny all-reduces)
+        lead = lambda t: jax.tree_util.tree_map(lambda x: x[None], t)
+        return bucket[None], lead(losses), loss[None]
+
+    grads_fn = jax.jit(jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(), P()),
+        out_specs=(P(axis), P(axis), P(axis)), check_vma=False))
+
+    def reduce_apply(state, buckets, losses_s, loss_s):
+        mean = jnp.mean(buckets, axis=0)          # the ONE big collective
+        parts = _unflatten_bucket(
+            {"stats": state.batch_stats, "grads": state.params}, mean)
+        grads, new_stats = parts["grads"], parts["stats"]
+        new_state = state.apply_gradients(grads, new_stats)
+        log_vars = {k: jnp.mean(v, axis=0) for k, v in losses_s.items()}
+        log_vars["total_loss"] = jnp.mean(loss_s, axis=0)
+        log_vars["grad_norm"] = jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(jnp.square(x)), grads, 0.0) ** 0.5
+        return new_state, log_vars
+
+    reduce_fn = jax.jit(reduce_apply,
+                        donate_argnums=(0,) if donate else ())
+
+    def step(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
+        rng_sample, rng_aug = jax.random.split(jax.random.fold_in(
+            rng, state.step))
+        buckets, losses_s, loss_s = grads_fn(
+            state.params, state.batch_stats, batch, rng_sample, rng_aug)
+        return reduce_fn(state, buckets, losses_s, loss_s)
+
+    return step
+
+
 def make_eval_step(model) -> Callable:
+    """Jitted test-mode apply.  Traced under ``vmap_batch_mode`` so a
+    device-sharded multi-scene batch partitions per-op instead of hitting
+    the ``lax.map`` all-gather pathology (see ``utils/batching.py``);
+    single-scene batches still take the b==1 shortcut."""
+    from cnrma_tpu.utils.batching import vmap_batch_mode
+
     def step(variables, batch):
-        return model.apply(variables, batch, train=False)
+        with vmap_batch_mode(True):
+            return model.apply(variables, batch, train=False)
     return jax.jit(step)
 
 
@@ -155,19 +261,53 @@ class TextLogger:
             self.log_file.flush()
 
 
+def evaluate_val(model, state: TrainState, val_loader,
+                 eval_step=None) -> Dict[str, float]:
+    """Mean per-batch losses over a validation loader (test-mode apply —
+    losses are computed whenever GT is present, ``cn_rma.py:393-398``).
+    The reference's mid-training ``evaluation = dict(interval=...)`` hook
+    (``configs/ray_marching_scannet.py:47``) re-scores the val split each
+    interval; loss means are the dataset-free analog, and callers can
+    layer mAP on top via ``tools/evaluate_bbox.py`` on the saved
+    predictions."""
+    if eval_step is None:
+        eval_step = make_eval_step(model)
+    sums: Dict[str, float] = {}
+    n = 0
+    for batch in val_loader:
+        out = eval_step({"params": state.params,
+                         "batch_stats": state.batch_stats},
+                        device_batch(batch))
+        losses = jax.device_get(out["losses"])
+        for k, v in losses.items():
+            sums[k] = sums.get(k, 0.0) + float(np.mean(v))
+        sums["total_loss"] = sums.get("total_loss", 0.0) + float(
+            np.mean(jax.device_get(total_loss(losses))))
+        n += 1
+    return {f"val/{k}": v / max(n, 1) for k, v in sums.items()}
+
+
 def run_training(model, tx, loader, *, epochs: int, state: TrainState,
                  work_dir: str, lr_schedule=None, seed: int = 0,
                  log_interval: int = 10, checkpoint_interval: int = 10,
                  mesh=None, start_epoch: int = 0,
-                 max_steps: Optional[int] = None) -> TrainState:
+                 max_steps: Optional[int] = None,
+                 val_loader=None, eval_interval: int = 1) -> TrainState:
     """Epoch-based training driver.  ``max_steps`` stops early (smoke
-    runs / debugging), checkpointing the final state."""
+    runs / debugging), checkpointing the final state.
+
+    With ``val_loader``, every ``eval_interval`` epochs the val split is
+    scored (``evaluate_val``) and the lowest-total-val-loss state is kept
+    as the ``best`` checkpoint — the reference's per-interval evaluation
+    + ``save_best`` hook behavior."""
     mesh = mesh or make_mesh()
     step_fn = make_train_step(model, tx,
                               mesh=mesh if mesh.size > 1 else None)
+    eval_step = make_eval_step(model) if val_loader is not None else None
     logger = TextLogger(work_dir, log_interval)
     rng = jax.random.PRNGKey(seed)
     state = replicate(state, mesh)
+    best_val = float("inf")
 
     done = False
     for epoch in range(start_epoch, epochs):
@@ -181,6 +321,18 @@ def run_training(model, tx, loader, *, epochs: int, state: TrainState,
             if max_steps is not None and step >= max_steps:
                 done = True
                 break
+        if val_loader is not None and (
+                done or (epoch + 1) % eval_interval == 0
+                or epoch + 1 == epochs):
+            val_vars = evaluate_val(model, state, val_loader, eval_step)
+            logger(0, epoch, val_vars, float("nan"))
+            if val_vars.get("val/total_loss", float("inf")) < best_val:
+                best_val = val_vars["val/total_loss"]
+                save_checkpoint(
+                    os.path.join(work_dir, "best"), state,
+                    meta={"epoch": epoch + 1,
+                          "val_total_loss": best_val,
+                          "framework": "cnrma_tpu"})
         if done or (epoch + 1) % checkpoint_interval == 0 \
                 or epoch + 1 == epochs:
             save_checkpoint(

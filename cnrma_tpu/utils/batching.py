@@ -55,7 +55,13 @@ def batch_map(fn: Callable, *args: Any) -> Any:
     once — or ``jax.vmap`` inside a ``vmap_batch_mode()`` context (see
     module docstring).
     """
-    b = jax.tree_util.tree_leaves(args)[0].shape[0]
+    leaves = jax.tree_util.tree_leaves(args)
+    b = leaves[0].shape[0]
+    bad = [x.shape for x in leaves if x.shape[:1] != (b,)]
+    if bad:
+        raise ValueError(
+            f"batch_map: every leaf must share the leading (batch) axis "
+            f"{b}; got leaf shapes {bad[:3]}")
     if b == 1:
         out = fn(*jax.tree_util.tree_map(lambda x: x[0], args))
         return jax.tree_util.tree_map(lambda x: x[None], out)

@@ -42,6 +42,9 @@ resume_from = None
 
 total_epochs = 120
 checkpoint_config = dict(interval=10)
+# mid-training val evaluation every `interval` epochs (reference
+# `evaluation = dict(interval=3000, ...)`, ray_marching_scannet.py:47)
+evaluation = dict(interval=10)
 log_config = dict(interval=10)
 seed = 0
 

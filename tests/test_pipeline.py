@@ -119,7 +119,7 @@ class TestCNRMAForward:
 
 _MULTI_DEVICE_STEP = """
 import sys
-sys.path[:0] = [{repo!r}, {tests!r}]
+sys.path[:0] = [__REPO__, __TESTS__]
 import jax
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_cpu_enable_async_dispatch', False)
@@ -139,21 +139,43 @@ vars_ = jax.jit(lambda: model.init(
     dict(params=rng, sample=rng, aug=rng), batch, train=False))()
 tx = optax.adamw(1e-3)
 db = shard_batch(batch, mesh)
-# both distribution modes in one process (imports + cache-load amortized):
-# the GSPMD global-batch program, then the shard_map DDP step that
-# run_training uses on real hardware
-for mode_mesh in (None, mesh):
+# Both PRODUCTION distribution modes in one process (imports + cache-load
+# amortized): the split-collective step first (collective-free grads
+# program + single-bucket all-reduce — what dryrun_multichip exercises),
+# then the fused shard_map DDP step (what run_training uses on real
+# hardware).  The mesh=None GSPMD program is the single-device path and
+# is covered by the single-device train tests — running it here on a
+# sharded batch tested a mode nothing ships and cost a third heavy
+# compile.
+results = {}
+for mode, kwargs in (('split', dict(mesh=mesh, split=True)),
+                     ('shard_map', dict(mesh=mesh))):
     state = TrainState.create(
         jax.tree_util.tree_map(jax.numpy.copy, vars_['params']),
         jax.tree_util.tree_map(jax.numpy.copy, vars_['batch_stats']), tx)
     state = replicate(state, mesh)
-    step = make_train_step(model, tx, mesh=mode_mesh)
+    step = make_train_step(model, tx, **kwargs)
     new_state, logs = step(state, db, rng)
     assert int(new_state.step) == 1
     assert np.isfinite(float(logs['total_loss'])), logs
     assert np.isfinite(float(logs['grad_norm'])), logs
-    print('STEP_OK', 'shard_map' if mode_mesh is not None else 'gspmd',
-          float(logs['total_loss']), flush=True)
+    results[mode] = {k: float(v) for k, v in logs.items()}
+    print('STEP_OK', mode, float(logs['total_loss']), flush=True)
+# split == fused shard_map semantics where they are defined to agree:
+# identical rng streams and per-device recon math, means over the device
+# axis — so the TSDF losses must match tightly.  The DETECTION losses
+# legitimately differ (the fused step pmean-syncs the positive-count
+# normalization across ranks, ray_marching.py:573-587 semantics; the
+# split step keeps it per-device like single-GPU training), so the total
+# loss only gets a loose band.
+tsdf_keys = [k for k in results['split'] if 'tsdf' in k]
+assert tsdf_keys, list(results['split'])
+for k in tsdf_keys:
+    a, b = results['split'][k], results['shard_map'][k]
+    assert abs(a - b) <= 1e-3 * max(1.0, abs(b)), (k, a, b)
+assert abs(results['split']['total_loss']
+           - results['shard_map']['total_loss']) \
+    <= 0.5 * abs(results['shard_map']['total_loss']), results
 """
 
 
@@ -164,9 +186,10 @@ class TestMultiDevice:
     otherwise kill the entire pytest process."""
 
     def test_train_steps_both_modes(self):
-        """Global-batch GSPMD program AND the mesh-aware shard_map step
-        (per-device scene + explicit pmean — the DDP path that
-        run_training uses) on a 4-device mesh."""
+        """The split-collective step (dryrun_multichip's mode) AND the
+        fused shard_map step (per-device scene + explicit pmean — the DDP
+        path run_training uses) on a 4-device mesh, with a semantics
+        cross-check between the two."""
         import os
         import subprocess
         import sys
@@ -174,8 +197,9 @@ class TestMultiDevice:
         if len(jax.devices()) < 2:
             pytest.skip("needs multiple (virtual) devices")
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        code = _MULTI_DEVICE_STEP.format(
-            repo=repo, tests=os.path.join(repo, "tests"))
+        code = (_MULTI_DEVICE_STEP
+                .replace("__REPO__", repr(repo))
+                .replace("__TESTS__", repr(os.path.join(repo, "tests"))))
         env = dict(os.environ, JAX_PLATFORMS="cpu")
         flags = env.get("XLA_FLAGS", "")
         if "host_platform_device_count" not in flags:
@@ -185,15 +209,27 @@ class TestMultiDevice:
         env["XLA_FLAGS"] = flags.strip()
         last = None
         for _ in range(3):
-            r = subprocess.run([sys.executable, "-c", code], env=env,
-                               capture_output=True, text=True,
-                               timeout=1500)
+            try:
+                r = subprocess.run([sys.executable, "-c", code], env=env,
+                                   capture_output=True, text=True,
+                                   timeout=1500)
+            except subprocess.TimeoutExpired as e:
+                last = e      # a hung attempt counts as a failed attempt
+                continue
             if r.returncode == 0:
                 assert r.stdout.count("STEP_OK") == 2
                 return
             last = r
-        pytest.fail(f"multi-device steps failed 3 times: rc="
-                    f"{last.returncode}\n{last.stderr[-2000:]}")
+            if r.stdout.count("STEP_OK") == 2:
+                # both steps executed — the failure is a deterministic
+                # assert, not a collective flake; retrying can't help
+                break
+        rc = getattr(last, "returncode", "timeout")
+        err = last.stderr or b""
+        if isinstance(err, bytes):
+            err = err.decode("utf-8", "replace")
+        pytest.fail(f"multi-device steps failed 3 times: rc={rc}\n"
+                    f"{err[-2000:]}")
 
 
 class TestFeatureTransformAug:

@@ -131,6 +131,21 @@ def main():
         state = load_checkpoint(args.load_from or cfg.load_from, state,
                                 weights_only=True)
 
+    # mid-training evaluation (reference `evaluation = dict(interval=...)`,
+    # ray_marching_scannet.py:47): score the val split every `interval`
+    # epochs and keep the best-val-loss checkpoint
+    val_loader, eval_interval = None, 1
+    eval_cfg = cfg.get("evaluation", {}) or {}
+    if eval_cfg and cfg.get("data", {}).get("val"):
+        try:
+            val_dataset = build_dataset(cfg, "val", seed=args.seed)
+            val_loader = SceneLoader(val_dataset, batch_size=batch_size,
+                                     num_workers=1, drop_last=True)
+            eval_interval = max(1, int(eval_cfg.get("interval", 1)))
+        except Exception as e:
+            print(f"WARNING: val split unavailable ({e}); "
+                  "mid-training evaluation disabled")
+
     epochs = int(cfg.get("total_epochs", 1))
     run_training(
         model, tx, loader, epochs=epochs, state=state, work_dir=work_dir,
@@ -138,7 +153,8 @@ def main():
         log_interval=int(cfg.get("log_config", {}).get("interval", 10)),
         checkpoint_interval=int(cfg.get("checkpoint_config", {}).get(
             "interval", 10)),
-        mesh=mesh, start_epoch=start_epoch, max_steps=args.max_steps)
+        mesh=mesh, start_epoch=start_epoch, max_steps=args.max_steps,
+        val_loader=val_loader, eval_interval=eval_interval)
 
 
 if __name__ == "__main__":
