@@ -39,7 +39,28 @@ def build_bench(scale: str, batch: int = 1):
     from cnrma_tpu.models.fcaf3d import DetectionCapacities
 
     yaw = scale == "arkit"
-    if scale.startswith("full"):
+    if scale == "tiny":
+        # safety-net rung: smallest structurally-real pipeline; exists so
+        # a cold-cache driver run always lands SOME nonzero number
+        # (round-1/2 failure mode: the first rung's compile outlived its
+        # subprocess timeout and the whole ladder reported 0.0)
+        dims = dict(voxel_dim=(64, 64, 32), views=4, h=96, w=128,
+                    rays_cap=2048, max_points=8192, ray_samples=64,
+                    caps=DetectionCapacities(
+                        voxelize=8192, stride2=6144, stride4=4096,
+                        levels=(2048, 1024, 512, 256),
+                        neck=(6144, 4096, 2048)))
+    elif scale == "full_ship":
+        # the SHIPPING config's capacities (configs/ray_marching_scannet
+        # .py): rays 32768, max_points 500k->524288 (pow2 pad), voxelize
+        # 409600 — the honest "reference ScanNet test setting" rung
+        dims = dict(voxel_dim=(256, 256, 96), views=50, h=480, w=640,
+                    rays_cap=32768, max_points=500000, ray_samples=300,
+                    caps=DetectionCapacities(
+                        voxelize=409600, stride2=262144, stride4=131072,
+                        levels=(32768, 12288, 4096, 2048),
+                        neck=(262144, 65536, 16384)))
+    elif scale.startswith("full"):
         # the reference's ScanNet test setting (256x256x96 @ 4cm, 50 views)
         dims = dict(voxel_dim=(256, 256, 96), views=50, h=480, w=640,
                     rays_cap=16384, max_points=262144, ray_samples=300,
@@ -161,18 +182,20 @@ def run(scale: str):
     return n_batch / dt
 
 
-# Small runs first so SOME number always lands inside the driver's budget;
-# each later scale only upgrades the result.  Timeouts are per-subprocess
-# caps; the outer loop additionally respects BENCH_TOTAL_BUDGET_SEC.
-SCALE_ORDER = ("small", "medium", "full")
-# batch-2 full scale: legitimate serving throughput, but the B=2 program
-# currently crashes this toolchain's remote TPU compiler (HTTP 500) —
-# opt in once the compiler handles it
-if os.environ.get("BENCH_TRY_FULL2"):
-    SCALE_ORDER = SCALE_ORDER + ("full2",)
-SCALE_TIMEOUTS = {"small": 600, "medium": 1200, "full": 2400,
-                  "full2": 1800}
-TOTAL_BUDGET = float(os.environ.get("BENCH_TOTAL_BUDGET_SEC", "3000"))
+# Smallest first so SOME number always lands inside the driver's budget;
+# each later scale only upgrades the result.  Caps are per-subprocess;
+# the outer loop additionally respects BENCH_TOTAL_BUDGET_SEC.  The
+# headline rung is ``full_ship`` — the shipping ScanNet config's exact
+# capacities (rays 32768 / max_points 500k / voxelize 409600); ``full``
+# (trimmed caps, round-2's headline) stays as a stepping stone.
+SCALE_ORDER = ("tiny", "small", "full", "full_ship")
+if os.environ.get("BENCH_SCALES"):            # override, e.g. "medium,full"
+    SCALE_ORDER = tuple(os.environ["BENCH_SCALES"].split(","))
+SCALE_TIMEOUTS = {"tiny": 420, "small": 900, "medium": 1200,
+                  "full": 2400, "full_ship": 2400, "full2": 1800}
+TOTAL_BUDGET = float(os.environ.get("BENCH_TOTAL_BUDGET_SEC", "3300"))
+ALL_SCALES = ("tiny", "small", "medium", "full", "full_ship", "full2",
+              "arkit")
 
 
 def _result_line(value, used_scale):
@@ -184,63 +207,85 @@ def _result_line(value, used_scale):
         "metric": f"scannet_test_scenes_per_sec_per_chip({used_scale})",
         "value": round(value, 4),
         "unit": "scenes/sec",
+        # denominator is an ESTIMATE: the reference publishes no
+        # throughput (SURVEY.md §6); 0.125 scenes/sec/GPU assumed
         "vs_baseline": round(
             value / EST_REFERENCE_SCENES_PER_SEC_PER_GPU, 2),
     })
 
 
+def _run_scale(scale: str, timeout: float):
+    """One scale in a subprocess; returns (value|None, note).  Child
+    stdout/stderr go to temp files so a timed-out child still leaves
+    diagnosable output (round-2 failure: TimeoutExpired discarded
+    stderr and BENCH_r02 carried zero diagnostics)."""
+    import subprocess
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        out_p = os.path.join(td, "out")
+        err_p = os.path.join(td, "err")
+        with open(out_p, "w") as fo, open(err_p, "w") as fe:
+            try:
+                subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), scale],
+                    stdout=fo, stderr=fe, timeout=timeout)
+            except subprocess.TimeoutExpired:
+                pass
+        with open(out_p) as f:
+            stdout = f.read()
+        with open(err_p) as f:
+            stderr = f.read()
+    for line in stdout.splitlines():
+        if line.startswith("BENCH_RESULT "):
+            return float(line.split()[1]), ""
+    return None, stderr[-2000:]
+
+
 def main():
     """Run scales smallest-first, each in a subprocess with a timeout, and
-    report the largest scale that finished.  The best-so-far JSON line is
-    re-printed after every scale, so the LAST stdout line is a valid
-    result even if the whole process is killed mid-ladder.  A warmed
-    .jax_cache (populated during the round) makes reruns compile in
-    seconds."""
-    import subprocess
+    report the largest scale that finished.  A valid JSON line is printed
+    IMMEDIATELY and re-printed after every scale, so the LAST stdout line
+    is a parsable result no matter when the driver kills the process.  A
+    warmed .jax_cache (refreshed at end of round) makes reruns compile in
+    seconds; the 'tiny' rung lands a nonzero number even fully cold."""
     t_start = time.perf_counter()
     value, used_scale = None, None
+    print(_result_line(value, used_scale), flush=True)
     for scale in SCALE_ORDER:
         remaining = TOTAL_BUDGET - (time.perf_counter() - t_start)
-        timeout = min(SCALE_TIMEOUTS[scale], remaining)
+        timeout = min(SCALE_TIMEOUTS.get(scale, 1200), remaining)
         if timeout < 60:
             print(f"bench: skipping {scale} (only {remaining:.0f}s left)",
                   file=sys.stderr)
             break
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), scale],
-                capture_output=True, text=True, timeout=timeout)
-            got = None
-            for line in out.stdout.splitlines():
-                if line.startswith("BENCH_RESULT "):
-                    got = float(line.split()[1])
-                    break
-            if got is not None:
-                # larger scales may legitimately be slower (full vs full2:
-                # keep whichever is the larger-scale result; full2 only
-                # upgrades full if its batched throughput is higher)
-                if scale == "full2" and value is not None \
-                        and got <= value:
-                    print(f"bench: {scale} -> {got:.4f} (not better)",
-                          file=sys.stderr)
-                else:
-                    value, used_scale = got, scale
-                    print(f"bench: {scale} -> {got:.4f} scenes/sec",
-                          file=sys.stderr)
+        t0 = time.perf_counter()
+        got, err = _run_scale(scale, timeout)
+        dt = time.perf_counter() - t0
+        if got is None:
+            if dt >= timeout - 1:
+                print(f"bench scale={scale} timed out after "
+                      f"{timeout:.0f}s; stderr tail:\n{err}",
+                      file=sys.stderr)
             else:
-                print(f"bench scale={scale} failed:\n"
-                      + out.stderr[-2000:], file=sys.stderr)
-                break
-        except subprocess.TimeoutExpired:
-            print(f"bench scale={scale} timed out after {timeout:.0f}s",
+                print(f"bench scale={scale} failed after {dt:.0f}s:\n"
+                      f"{err}", file=sys.stderr)
+            break    # larger scales would only be slower
+        # a larger scale can legitimately measure slower than a smaller
+        # one (bigger static capacities); prefer the larger scale as the
+        # headline, except full2 which only upgrades on real improvement
+        if scale == "full2" and value is not None and got <= value:
+            print(f"bench: {scale} -> {got:.4f} (not better)",
                   file=sys.stderr)
-            break
+        else:
+            value, used_scale = got, scale
+            print(f"bench: {scale} -> {got:.4f} scenes/sec "
+                  f"({dt:.0f}s incl. compile)", file=sys.stderr)
         print(_result_line(value, used_scale), flush=True)
     print(_result_line(value, used_scale), flush=True)
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] in SCALE_ORDER + ("arkit",):
+    if len(sys.argv) > 1 and sys.argv[1] in ALL_SCALES:
         print("BENCH_RESULT", run(sys.argv[1]))
     else:
         main()
