@@ -142,3 +142,13 @@ class TestInferenceEntry:
         vert = np.load(os.path.join(mid_dir, scene + "_vert.npy"))
         assert vert.ndim == 2 and vert.shape[1] == 35
         assert vert.shape[0] > 0
+
+
+class TestMEOffsetOracle:
+    def test_enumerations_match_oracle(self):
+        """Pin ``ops.sparse.kernel_offsets`` and the decoder's child
+        enumeration to the transcribed ME RegionIterator semantics
+        (``tools/me_offset_oracle.py``) — the checkpoint converter's
+        kernel-row order assumption (``convert_checkpoint.py:14-17``)."""
+        from tools.me_offset_oracle import self_check
+        self_check()
