@@ -146,8 +146,13 @@ def run(scale: str):
     # jit the init: eager init dispatches thousands of ops (and compiles
     # every lax.map/scan separately) through the remote tunnel; one jitted
     # compile is cached persistently across runs
+    print(f"bench[{scale}]: tracing+compiling init", file=sys.stderr,
+          flush=True)
+    t0 = time.perf_counter()
     variables = jax.jit(lambda: model.init(
         {"params": rng, "sample": rng}, batch, train=False))()
+    print(f"bench[{scale}]: init done {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
 
     @jax.jit
     def forward(variables, batch):
@@ -269,7 +274,12 @@ def main():
             else:
                 print(f"bench scale={scale} failed after {dt:.0f}s:\n"
                       f"{err}", file=sys.stderr)
-            break    # larger scales would only be slower
+            # do NOT break: compile time is not monotone in scale — a
+            # later rung may hit a warm cache while this one compiled
+            # cold (round-3 lesson: tiny timed out cold and the break
+            # left verified larger-scale numbers unmeasured); the outer
+            # TOTAL_BUDGET still bounds the whole ladder
+            continue
         # a larger scale can legitimately measure slower than a smaller
         # one (bigger static capacities); prefer the larger scale as the
         # headline, except full2 which only upgrades on real improvement

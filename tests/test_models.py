@@ -224,6 +224,7 @@ class TestFCAF3DDetector:
         assert scores.shape[2] == 4
         assert bboxes.shape[1] == scores.shape[1] == bvalid.shape[1]
 
+    @pytest.mark.slow
     def test_bf16_compute_close_to_f32(self):
         """compute_dtype=bfloat16 runs the sparse stack in bf16 (MXU fast
         path) but must track the fp32 result closely: fp32 accumulation,

@@ -185,6 +185,7 @@ class TestMultiDevice:
     (SIGABRT, not a catchable error) on a 1-2 core host, which would
     otherwise kill the entire pytest process."""
 
+    @pytest.mark.slow
     def test_train_steps_both_modes(self):
         """The split-collective step (dryrun_multichip's mode) AND the
         fused shard_map step (per-device scene + explicit pmean — the DDP

@@ -88,6 +88,7 @@ class TestInferenceEntry:
     weighted features; reference ``save_middle_result``,
     ``ray_marching.py:959-991``)."""
 
+    @pytest.mark.slow
     def test_writes_reference_artifacts(self, tmp_path):
         import subprocess
 
