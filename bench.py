@@ -141,16 +141,37 @@ def run(scale: str):
     # overheads; throughput metric stays scenes/sec/chip (= B / step time)
     n_batch = 2 if scale == "full2" else 1
     model, batch = build_bench(scale, batch=n_batch)
+    # first device op — on the remote relay this can block behind OTHER
+    # clients' in-flight compiles (the relay serializes all RPCs), so
+    # log around it: a rung stuck here is queued, not compiling
+    print(f"bench[{scale}]: device_put batch (first device op)",
+          file=sys.stderr, flush=True)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    for leaf in batch.values():
+        jax.device_get(leaf.reshape(-1)[:1])
+    print(f"bench[{scale}]: device ready", file=sys.stderr, flush=True)
     rng = jax.random.PRNGKey(0)
-    # jit the init: eager init dispatches thousands of ops (and compiles
-    # every lax.map/scan separately) through the remote tunnel; one jitted
-    # compile is cached persistently across runs
-    print(f"bench[{scale}]: tracing+compiling init", file=sys.stderr,
-          flush=True)
+    # Synthesize parameters on the HOST from the init's shape tree
+    # instead of compiling model.init: throughput is data-independent
+    # (static shapes, no data-driven control flow), and the init compile
+    # was the cold ladder's longest pole — a cold tiny-rung init blew
+    # its whole 420 s subprocess cap through the remote tunnel, while
+    # eval_shape is a pure host-side trace (~1 min) and device_put of
+    # the ~few-hundred-MB param tree takes seconds.
+    print(f"bench[{scale}]: eval_shape init + host param synthesis",
+          file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    variables = jax.jit(lambda: model.init(
-        {"params": rng, "sample": rng}, batch, train=False))()
+    shapes = jax.eval_shape(lambda: model.init(
+        {"params": rng, "sample": rng}, batch, train=False))
+    host_rng = np.random.RandomState(1)
+
+    def synth(s):
+        if jnp.issubdtype(s.dtype, jnp.floating):
+            return jnp.asarray(host_rng.normal(0.0, 0.02, s.shape)
+                               .astype(jnp.dtype(s.dtype)))
+        return jnp.zeros(s.shape, s.dtype)
+
+    variables = jax.tree_util.tree_map(synth, shapes)
     print(f"bench[{scale}]: init done {time.perf_counter() - t0:.1f}s",
           file=sys.stderr, flush=True)
 
@@ -196,7 +217,7 @@ def run(scale: str):
 SCALE_ORDER = ("tiny", "small", "full", "full_ship")
 if os.environ.get("BENCH_SCALES"):            # override, e.g. "medium,full"
     SCALE_ORDER = tuple(os.environ["BENCH_SCALES"].split(","))
-SCALE_TIMEOUTS = {"tiny": 420, "small": 900, "medium": 1200,
+SCALE_TIMEOUTS = {"tiny": 600, "small": 900, "medium": 1200,
                   "full": 2400, "full_ship": 2400, "full2": 1800}
 TOTAL_BUDGET = float(os.environ.get("BENCH_TOTAL_BUDGET_SEC", "3300"))
 ALL_SCALES = ("tiny", "small", "medium", "full", "full_ship", "full2",
@@ -217,6 +238,39 @@ def _result_line(value, used_scale):
         "vs_baseline": round(
             value / EST_REFERENCE_SCENES_PER_SEC_PER_GPU, 2),
     })
+
+
+def _tunnel_recover(max_wait: float) -> bool:
+    """Wait for the accelerator relay to become responsive again.
+
+    The remote (axon) relay serializes ALL client RPCs — even
+    ``jax.devices()`` blocks while a compile is in flight — and killing
+    a timed-out bench child does NOT cancel its server-side compile, so
+    the next rung would silently burn its own cap queued behind the
+    abandoned work (measured: a trivial ``ones(3)+1`` probe hung >120 s
+    while a killed rung's compile drained).  Probe with a tiny device op
+    in short subprocess attempts until one answers or ``max_wait`` runs
+    out; on a local backend the first probe returns in ~a second.
+    """
+    import subprocess
+    code = ("import jax, jax.numpy as jnp; "
+            "jax.device_get(jnp.ones(2) + 1)")
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < max_wait:
+        budget = max_wait - (time.perf_counter() - t0)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], timeout=min(90, budget),
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            if r.returncode == 0:
+                print(f"bench: relay responsive again after "
+                      f"{time.perf_counter() - t0:.0f}s", file=sys.stderr)
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    print(f"bench: relay still busy after {max_wait:.0f}s",
+          file=sys.stderr)
+    return False
 
 
 def _run_scale(scale: str, timeout: float):
@@ -271,6 +325,12 @@ def main():
                 print(f"bench scale={scale} timed out after "
                       f"{timeout:.0f}s; stderr tail:\n{err}",
                       file=sys.stderr)
+                # the killed child's server-side compile keeps the relay
+                # busy; wait it out so the next rung starts with a clean
+                # queue instead of burning its cap behind abandoned work
+                remaining = TOTAL_BUDGET - (time.perf_counter() - t_start)
+                if remaining > 120:
+                    _tunnel_recover(min(900, remaining - 60))
             else:
                 print(f"bench scale={scale} failed after {dt:.0f}s:\n"
                       f"{err}", file=sys.stderr)
