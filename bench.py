@@ -139,6 +139,12 @@ def run(scale: str):
 
     # 'full2' = full shapes with a 2-scene batch: amortizes fixed per-step
     # overheads; throughput metric stays scenes/sec/chip (= B / step time)
+    # sitecustomize pins jax_platforms to the remote accelerator via
+    # jax.config (which wins over the env var) — re-apply the env so the
+    # ladder is runnable on CPU boxes (JAX_PLATFORMS=cpu python bench.py)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     n_batch = 2 if scale == "full2" else 1
     model, batch = build_bench(scale, batch=n_batch)
     # first device op — on the remote relay this can block behind OTHER
@@ -209,16 +215,14 @@ def run(scale: str):
 
 
 # Smallest first so SOME number always lands inside the driver's budget;
-# each later scale only upgrades the result.  Caps are per-subprocess;
-# the outer loop additionally respects BENCH_TOTAL_BUDGET_SEC.  The
-# headline rung is ``full_ship`` — the shipping ScanNet config's exact
-# capacities (rays 32768 / max_points 500k / voxelize 409600); ``full``
-# (trimmed caps, round-2's headline) stays as a stepping stone.
+# each later scale only upgrades the result; the outer loop respects
+# BENCH_TOTAL_BUDGET_SEC between rungs.  The headline rung is
+# ``full_ship`` — the shipping ScanNet config's exact capacities (rays
+# 32768 / max_points 500k / voxelize 409600); ``full`` (trimmed caps,
+# round-2's headline) stays as a stepping stone.
 SCALE_ORDER = ("tiny", "small", "full", "full_ship")
 if os.environ.get("BENCH_SCALES"):            # override, e.g. "medium,full"
     SCALE_ORDER = tuple(os.environ["BENCH_SCALES"].split(","))
-SCALE_TIMEOUTS = {"tiny": 600, "small": 900, "medium": 1200,
-                  "full": 2400, "full_ship": 2400, "full2": 1800}
 TOTAL_BUDGET = float(os.environ.get("BENCH_TOTAL_BUDGET_SEC", "3300"))
 ALL_SCALES = ("tiny", "small", "medium", "full", "full_ship", "full2",
               "arkit")
@@ -240,106 +244,43 @@ def _result_line(value, used_scale):
     })
 
 
-def _tunnel_recover(max_wait: float) -> bool:
-    """Wait for the accelerator relay to become responsive again.
-
-    The remote (axon) relay serializes ALL client RPCs — even
-    ``jax.devices()`` blocks while a compile is in flight — and killing
-    a timed-out bench child does NOT cancel its server-side compile, so
-    the next rung would silently burn its own cap queued behind the
-    abandoned work (measured: a trivial ``ones(3)+1`` probe hung >120 s
-    while a killed rung's compile drained).  Probe with a tiny device op
-    in short subprocess attempts until one answers or ``max_wait`` runs
-    out; on a local backend the first probe returns in ~a second.
-    """
-    import subprocess
-    code = ("import jax, jax.numpy as jnp; "
-            "jax.device_get(jnp.ones(2) + 1)")
-    t0 = time.perf_counter()
-    while time.perf_counter() - t0 < max_wait:
-        budget = max_wait - (time.perf_counter() - t0)
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", code], timeout=min(90, budget),
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-            if r.returncode == 0:
-                print(f"bench: relay responsive again after "
-                      f"{time.perf_counter() - t0:.0f}s", file=sys.stderr)
-                return True
-        except subprocess.TimeoutExpired:
-            pass
-    print(f"bench: relay still busy after {max_wait:.0f}s",
-          file=sys.stderr)
-    return False
-
-
-def _run_scale(scale: str, timeout: float):
-    """One scale in a subprocess; returns (value|None, note).  Child
-    stdout/stderr go to temp files so a timed-out child still leaves
-    diagnosable output (round-2 failure: TimeoutExpired discarded
-    stderr and BENCH_r02 carried zero diagnostics)."""
-    import subprocess
-    import tempfile
-    with tempfile.TemporaryDirectory() as td:
-        out_p = os.path.join(td, "out")
-        err_p = os.path.join(td, "err")
-        with open(out_p, "w") as fo, open(err_p, "w") as fe:
-            try:
-                subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), scale],
-                    stdout=fo, stderr=fe, timeout=timeout)
-            except subprocess.TimeoutExpired:
-                pass
-        with open(out_p) as f:
-            stdout = f.read()
-        with open(err_p) as f:
-            stderr = f.read()
-    for line in stdout.splitlines():
-        if line.startswith("BENCH_RESULT "):
-            return float(line.split()[1]), ""
-    return None, stderr[-2000:]
-
-
 def main():
-    """Run scales smallest-first, each in a subprocess with a timeout, and
-    report the largest scale that finished.  A valid JSON line is printed
-    IMMEDIATELY and re-printed after every scale, so the LAST stdout line
-    is a parsable result no matter when the driver kills the process.  A
-    warmed .jax_cache (refreshed at end of round) makes reruns compile in
-    seconds; the 'tiny' rung lands a nonzero number even fully cold."""
+    """Run scales smallest-first IN-PROCESS and report the largest scale
+    that finished.  A valid JSON line is printed IMMEDIATELY and
+    re-printed after every scale, so the LAST stdout line is a parsable
+    result no matter when (or whether) the driver kills the process.
+
+    There are deliberately NO per-rung kill timers.  The remote relay
+    serializes every client's RPCs (even ``jax.devices()`` blocks while
+    any compile is in flight) and killing a client does NOT cancel its
+    server-side compile — so a killed rung both discards work that was
+    about to finish AND leaves the device busy, silently starving the
+    next rung (this was rounds 1-3's bench-capture failure).  A rung
+    that crashes is caught and the ladder moves on; a rung that hangs
+    holds the ladder until the driver's own timeout, at which point the
+    last printed line (the best completed rung) stands.  A warmed
+    .jax_cache (refreshed at end of round) makes reruns compile in
+    seconds even so."""
     t_start = time.perf_counter()
     value, used_scale = None, None
     print(_result_line(value, used_scale), flush=True)
     for scale in SCALE_ORDER:
         remaining = TOTAL_BUDGET - (time.perf_counter() - t_start)
-        timeout = min(SCALE_TIMEOUTS.get(scale, 1200), remaining)
-        if timeout < 60:
+        if remaining < 60:
             print(f"bench: skipping {scale} (only {remaining:.0f}s left)",
                   file=sys.stderr)
             break
         t0 = time.perf_counter()
-        got, err = _run_scale(scale, timeout)
-        dt = time.perf_counter() - t0
-        if got is None:
-            if dt >= timeout - 1:
-                print(f"bench scale={scale} timed out after "
-                      f"{timeout:.0f}s; stderr tail:\n{err}",
-                      file=sys.stderr)
-                # the killed child's server-side compile keeps the relay
-                # busy; wait it out so the next rung starts with a clean
-                # queue instead of burning its cap behind abandoned work
-                remaining = TOTAL_BUDGET - (time.perf_counter() - t_start)
-                if remaining > 120:
-                    _tunnel_recover(min(900, remaining - 60))
-            else:
-                print(f"bench scale={scale} failed after {dt:.0f}s:\n"
-                      f"{err}", file=sys.stderr)
-            # do NOT break: compile time is not monotone in scale — a
-            # later rung may hit a warm cache while this one compiled
-            # cold (round-3 lesson: tiny timed out cold and the break
-            # left verified larger-scale numbers unmeasured); the outer
-            # TOTAL_BUDGET still bounds the whole ladder
+        try:
+            got = run(scale)
+        except Exception as e:
+            # keep going: a rung-specific failure (OOM at a big scale, a
+            # backend hiccup) must not cost the rungs that still work
+            print(f"bench scale={scale} failed after "
+                  f"{time.perf_counter() - t0:.0f}s: {e!r}",
+                  file=sys.stderr)
             continue
+        dt = time.perf_counter() - t0
         # a larger scale can legitimately measure slower than a smaller
         # one (bigger static capacities); prefer the larger scale as the
         # headline, except full2 which only upgrades on real improvement
