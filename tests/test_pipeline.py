@@ -233,6 +233,43 @@ class TestMultiDevice:
                     f"{err[-2000:]}")
 
 
+class TestRunTraining:
+    """The epoch driver end to end on one device: step loop, max_steps,
+    logger, periodic checkpointing, and the mid-training val-eval +
+    best-checkpoint hook (the reference's ``evaluation = dict(
+    interval=...)`` + ``save_best``, ``configs/ray_marching_scannet.py:47``)."""
+
+    @pytest.mark.slow
+    def test_val_eval_and_best_checkpoint(self, cnrma_setup, tmp_path):
+        import optax
+
+        from cnrma_tpu.parallel.mesh import make_mesh
+        from cnrma_tpu.train.loop import run_training
+        from cnrma_tpu.train.state import TrainState
+
+        model, batch, vars_ = cnrma_setup
+        tx = optax.adamw(1e-3)
+        state = TrainState.create(
+            jax.tree_util.tree_map(jnp.copy, vars_["params"]),
+            jax.tree_util.tree_map(jnp.copy, vars_["batch_stats"]), tx)
+        out = run_training(
+            model, tx, [batch, batch], epochs=1, state=state,
+            work_dir=str(tmp_path), mesh=make_mesh(1), max_steps=2,
+            log_interval=1, checkpoint_interval=1,
+            val_loader=[batch], eval_interval=1)
+        assert int(out.step) == 2
+        # periodic checkpoint + best checkpoint both saved
+        assert (tmp_path / "epoch_1" / "cnrma_meta.json").exists()
+        best_meta = tmp_path / "best" / "cnrma_meta.json"
+        assert best_meta.exists()
+        import json
+        meta = json.loads(best_meta.read_text())
+        assert np.isfinite(float(meta["val_total_loss"]))
+        # the val scores went through the logger
+        log_text = (tmp_path / "train.log").read_text()
+        assert "val/total_loss" in log_text
+
+
 class TestFeatureTransformAug:
     def test_points_and_boxes_transform_together(self):
         rng = jax.random.PRNGKey(0)
