@@ -32,6 +32,32 @@ import numpy as np
 
 EST_REFERENCE_SCENES_PER_SEC_PER_GPU = 0.125
 
+# Last announced phase, for the heartbeat thread: when a rung hangs (the
+# remote relay serializes RPCs and a dead/queued relay blocks the first
+# device op indefinitely), the heartbeat makes the failure mode readable
+# from stderr — "1800s in phase 'device_put'" means the relay never
+# answered, not that a compile is slow.
+_PHASE = {"msg": "start", "t": time.time()}
+
+
+def _phase(msg):
+    _PHASE["msg"] = msg
+    _PHASE["t"] = time.time()
+    print(f"bench: {msg}", file=sys.stderr, flush=True)
+
+
+def _start_heartbeat(interval: float = 120.0):
+    import threading
+
+    def beat():
+        while True:
+            time.sleep(interval)
+            dt = time.time() - _PHASE["t"]
+            print(f"bench: heartbeat — {dt:.0f}s in phase "
+                  f"'{_PHASE['msg']}'", file=sys.stderr, flush=True)
+
+    threading.Thread(target=beat, daemon=True).start()
+
 
 def build_bench(scale: str, batch: int = 1):
     import jax.numpy as jnp
@@ -149,13 +175,12 @@ def run(scale: str):
     model, batch = build_bench(scale, batch=n_batch)
     # first device op — on the remote relay this can block behind OTHER
     # clients' in-flight compiles (the relay serializes all RPCs), so
-    # log around it: a rung stuck here is queued, not compiling
-    print(f"bench[{scale}]: device_put batch (first device op)",
-          file=sys.stderr, flush=True)
+    # log around it: a rung stuck here is queued/relay-dead, not compiling
+    _phase(f"[{scale}] device_put batch (first device op)")
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     for leaf in batch.values():
         jax.device_get(leaf.reshape(-1)[:1])
-    print(f"bench[{scale}]: device ready", file=sys.stderr, flush=True)
+    _phase(f"[{scale}] device ready")
     rng = jax.random.PRNGKey(0)
     # Synthesize parameters on the HOST from the init's shape tree
     # instead of compiling model.init: throughput is data-independent
@@ -164,8 +189,7 @@ def run(scale: str):
     # its whole 420 s subprocess cap through the remote tunnel, while
     # eval_shape is a pure host-side trace (~1 min) and device_put of
     # the ~few-hundred-MB param tree takes seconds.
-    print(f"bench[{scale}]: eval_shape init + host param synthesis",
-          file=sys.stderr, flush=True)
+    _phase(f"[{scale}] eval_shape init + host param synthesis")
     t0 = time.perf_counter()
     shapes = jax.eval_shape(lambda: model.init(
         {"params": rng, "sample": rng}, batch, train=False))
@@ -178,8 +202,8 @@ def run(scale: str):
         return jnp.zeros(s.shape, s.dtype)
 
     variables = jax.tree_util.tree_map(synth, shapes)
-    print(f"bench[{scale}]: init done {time.perf_counter() - t0:.1f}s",
-          file=sys.stderr, flush=True)
+    _phase(f"[{scale}] init done {time.perf_counter() - t0:.1f}s; "
+           "compiling forward")
 
     @jax.jit
     def forward(variables, batch):
@@ -198,7 +222,7 @@ def run(scale: str):
     r = forward(variables, batch)
     force(r)
     warm = time.perf_counter() - t0
-    print(f"bench[{scale}]: compile+first-run {warm:.1f}s", file=sys.stderr)
+    _phase(f"[{scale}] compile+first-run {warm:.1f}s; measuring")
     # adaptive iteration count: one timed probe decides how many repeats
     # fit a sane measurement window
     t0 = time.perf_counter()
@@ -266,6 +290,7 @@ def main():
     .jax_cache (refreshed at end of round) makes reruns compile in
     seconds even so."""
     t_start = time.perf_counter()
+    _start_heartbeat()
     value, used_scale = None, None
     print(_result_line(value, used_scale), flush=True)
     for scale in SCALE_ORDER:
@@ -301,6 +326,7 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] in ALL_SCALES:
+        _start_heartbeat()
         print("BENCH_RESULT", run(sys.argv[1]))
     else:
         main()
