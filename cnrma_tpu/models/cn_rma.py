@@ -168,6 +168,13 @@ class CNRMA(nn.Module):
     # small test/entry grids keep the dense path.  0 disables.
     bp_tile: int = 8
     bp_tile_frac: float = 0.5
+    # dtype of the volume-sum accumulator (ops/backproject.py).  The
+    # accumulator's HBM read-modify-write is the volume stage's largest
+    # cost after the gathers; 'bfloat16' halves that traffic at ~1%
+    # relative error on the 50-view mean (view counts stay fp32-exact
+    # either way).  'float32' (default) is bit-faithful to the
+    # reference's fp32 `self.volume += volume` (atlas.py:152-153).
+    bp_accum_dtype: str = "float32"
     # view-parallel volume accumulation (SURVEY.md §5): a Mesh with a
     # 'view' axis shards the view loop across devices and combines the
     # (volume, count) partials with one psum over ICI — the multi-chip
@@ -273,6 +280,7 @@ class CNRMA(nn.Module):
         vol, valid = batch_map(
             lambda p, f, v: accumulate_views(
                 p, f, v, self.voxel_dim, self.voxel_size, origin,
+                accum_dtype=jnp.dtype(self.bp_accum_dtype),
                 tile=tile, tile_capacity=tile_cap),
             proj, feats, view_valid)
         return vol, valid

@@ -208,17 +208,21 @@ def _accum_impl(voxel_dim, voxel_size, view_chunk, accum_dtype_name,
         vol_acc, cnt_acc = carry
         projs, feats, oks = inp
         vol_sum = jnp.zeros((X, Y, Z * C), accum_dtype)
-        cnt_sum = jnp.zeros((X, Y, Z), accum_dtype)
+        # view counts stay fp32 regardless of accum_dtype: they are
+        # integer-valued and fp32 keeps them exact for any view count
+        # (bf16 would round past 256), at ~3% of the accumulator traffic
+        cnt_sum = jnp.zeros((X, Y, Z), jnp.float32)
         for j in range(chunk):
             vol, valid = backproject_view(projs[j], feats[j], voxel_dim,
                                           voxel_size, origin)
             okf = oks[j].astype(accum_dtype)
             vol_sum = vol_sum + vol.astype(accum_dtype) * okf
-            cnt_sum = cnt_sum + valid.astype(accum_dtype) * okf
+            cnt_sum = cnt_sum + valid.astype(jnp.float32) \
+                * oks[j].astype(jnp.float32)
         return (vol_acc + vol_sum, cnt_acc + cnt_sum), None
 
     init = (jnp.zeros((X, Y, Z * C), accum_dtype),
-            jnp.zeros((X, Y, Z), accum_dtype))
+            jnp.zeros((X, Y, Z), jnp.float32))
     (vol, cnt), _ = jax.lax.scan(body, init,
                                  (projections, features, view_valid))
     return vol.reshape(X, Y, Z, C), cnt
@@ -348,15 +352,17 @@ def _accum_impl_tiled(voxel_dim, voxel_size, tile, tile_capacity,
         rows_ext = jnp.concatenate(
             [rows.reshape(K, t3 * C),
              jnp.zeros((1, t3 * C), accum_dtype)], axis=0)
+        # counts stay fp32 (integer-exact for any view count; ~3% of
+        # the accumulator traffic) even when accum_dtype is bf16
         cnt_ext = jnp.concatenate(
-            [val_k.astype(accum_dtype) * okf,
-             jnp.zeros((1, t3), accum_dtype)], axis=0)
+            [val_k.astype(jnp.float32) * ok.astype(jnp.float32),
+             jnp.zeros((1, t3), jnp.float32)], axis=0)
         vol_acc = vol_acc + jnp.take(rows_ext, inv, axis=0)
         cnt_acc = cnt_acc + jnp.take(cnt_ext, inv, axis=0)
         return (vol_acc, cnt_acc), None
 
     init = (jnp.zeros((n_tiles, t3 * C), accum_dtype),
-            jnp.zeros((n_tiles, t3), accum_dtype))
+            jnp.zeros((n_tiles, t3), jnp.float32))
     (vol, cnt), _ = jax.lax.scan(body, init,
                                  (projections, features, view_valid))
     vol = (vol.reshape(nx, ny, nz, t, t, t, C)

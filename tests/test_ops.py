@@ -120,6 +120,35 @@ class TestBackproject:
         np.testing.assert_allclose(np.asarray(g_tiled),
                                    np.asarray(g_dense), atol=1e-5)
 
+    def test_bf16_accumulator_close_to_fp32(self):
+        """`bp_accum_dtype='bfloat16'` halves the accumulator's HBM
+        traffic; the normalized mean volume must stay within ~1% of the
+        fp32 reference and the view counts must be EXACT (counts are
+        pinned to fp32 regardless of accum_dtype)."""
+        rng = np.random.RandomState(7)
+        V, H, W, C = 8, 12, 16, 4
+        dim = (16, 16, 8)
+        feats = jnp.asarray(rng.randn(V, H, W, C).astype(np.float32))
+        proj = simple_projection()
+        projs = jnp.asarray(np.stack([proj] * V))
+        valid = jnp.ones((V,), bool)
+        origin = jnp.array([-1.0, -1.0, 0.1])
+        for kw in ({}, dict(tile=8, tile_capacity=4)):   # dense + tiled
+            ref_vol, ref_ok = accumulate_views(
+                projs, feats, valid, dim, 0.25, origin, **kw)
+            b_vol, b_ok = accumulate_views(
+                projs, feats, valid, dim, 0.25, origin,
+                accum_dtype=jnp.bfloat16, **kw)
+            np.testing.assert_array_equal(np.asarray(b_ok),
+                                          np.asarray(ref_ok))
+            r = np.asarray(ref_vol)[np.asarray(ref_ok)]
+            b = np.asarray(b_vol)[np.asarray(ref_ok)]
+            rel = np.abs(b - r) / (np.abs(r) + 1e-3)
+            assert np.median(rel) < 0.01, (kw, np.median(rel))
+            # near-zero means cancel, so the tail is bounded in ABSOLUTE
+            # terms (what the bf16 U-Net consuming the volume resolves)
+            assert np.abs(b - r).max() < 0.05, (kw, np.abs(b - r).max())
+
     def test_tiled_overflow_keeps_fullest_tiles(self):
         """Over capacity, the fullest tiles win and dropped tiles lose
         only that view's contribution (count stays consistent with the
