@@ -125,6 +125,9 @@ def build_bench(scale: str, batch: int = 1):
         ray_samples=dims["ray_samples"],
         rays_per_view_cap=dims["rays_cap"],
         max_points=dims["max_points"], capacities=dims["caps"],
+        # A/B knob for the volume-accumulator dtype experiment
+        # (doc/performance.md); default fp32 = reference semantics
+        bp_accum_dtype=os.environ.get("BENCH_ACCUM_DTYPE", "float32"),
         compute_dtype=jnp.bfloat16)
 
     v, h, w = dims["views"], dims["h"], dims["w"]
