@@ -145,11 +145,13 @@ def accumulate_views_partial(projections: jnp.ndarray,
     ``('view',)`` mesh axis — see ``accumulate_views_view_sharded``) and
     then normalizing is exactly the full-view result.
 
-    ``view_chunk`` views are summed per scan step before touching the fp32
-    accumulator, dividing the accumulator's HBM read-modify-write traffic
-    (2 x X*Y*Z*C*4 bytes per step — the dominant cost after the gathers)
-    by the chunk size.  Views are padded to a chunk multiple with invalid
-    entries, which contribute nothing.
+    ``view_chunk`` views are summed per scan step before touching the
+    ``accum_dtype`` accumulator, dividing the accumulator's HBM
+    read-modify-write traffic (2 x X*Y*Z*C*itemsize bytes per step — the
+    dominant cost after the gathers) by the chunk size.  Views are padded
+    to a chunk multiple with invalid entries, which contribute nothing.
+    View counts are accumulated in fp32 regardless of ``accum_dtype``
+    (integer-exact for any view count).
 
     Returns:
         vol_sum: [X, Y, Z, C] summed per-view volumes (accum_dtype),
