@@ -128,6 +128,11 @@ def build_bench(scale: str, batch: int = 1):
         # A/B knob for the volume-accumulator dtype experiment
         # (doc/performance.md); default fp32 = reference semantics
         bp_accum_dtype=os.environ.get("BENCH_ACCUM_DTYPE", "float32"),
+        # A/B knob for the rect-footprint volume gather, e.g.
+        # BENCH_RECT=24x32 (doc/performance.md); default off
+        **(dict(bp_rect_h=int(os.environ["BENCH_RECT"].split("x")[0]),
+                bp_rect_w=int(os.environ["BENCH_RECT"].split("x")[1]))
+           if os.environ.get("BENCH_RECT") else {}),
         compute_dtype=jnp.bfloat16)
 
     v, h, w = dims["views"], dims["h"], dims["w"]

@@ -105,6 +105,10 @@ def build_model(cfg, mode: str = "train", view_mesh=None):
         # tile disables and reproduces the dense per-voxel gather
         bp_tile=m.get("bp_tile", 8),
         bp_tile_frac=m.get("bp_tile_frac", 0.5),
+        bp_rect_h=m.get("bp_rect_h", 0),
+        bp_rect_w=m.get("bp_rect_w", 0),
+        bp_rect_frac=m.get("bp_rect_frac", 0.5),
+        bp_overflow_frac=m.get("bp_overflow_frac", 0.05),
         bp_accum_dtype=m.get("bp_accum_dtype", "float32"),
         view_mesh=view_mesh,
         n_classes=head.get("n_classes", 18),

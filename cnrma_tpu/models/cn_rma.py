@@ -168,6 +168,17 @@ class CNRMA(nn.Module):
     # small test/entry grids keep the dense path.  0 disables.
     bp_tile: int = 8
     bp_tile_frac: float = 0.5
+    # rect-footprint volume gather (ops/backproject.py): small-footprint
+    # tiles load their bp_rect_h x bp_rect_w pixel rect with span gathers
+    # and pick voxels' pixels out of it with a one-hot MXU matmul (~20x
+    # fewer gather indices than one row gather per voxel); tiles whose
+    # footprint exceeds the rect (near-camera — few) take the row-gather
+    # path at the bp_tile_frac capacity.  bp_rect_frac sizes the rect-tile
+    # capacity.  0 disables (row-gather tiled path).
+    bp_rect_h: int = 0
+    bp_rect_w: int = 0
+    bp_rect_frac: float = 0.5
+    bp_overflow_frac: float = 0.05   # row-gather capacity when rect is on
     # dtype of the volume-sum accumulator (ops/backproject.py).  The
     # accumulator's HBM read-modify-write is the volume stage's largest
     # cost after the gathers; 'bfloat16' halves that traffic at ~1%
@@ -277,11 +288,21 @@ class CNRMA(nn.Module):
             if n_tiles >= 4096:
                 tile = self.bp_tile
                 tile_cap = max(1, int(round(self.bp_tile_frac * n_tiles)))
+        rect, rect_cap = (0, 0), 0
+        if tile and self.bp_rect_h > 0 and self.bp_rect_w > 0:
+            rect = (self.bp_rect_h, self.bp_rect_w)
+            n_tiles = 1
+            for d in self.voxel_dim:
+                n_tiles *= d // tile
+            rect_cap = max(1, int(round(self.bp_rect_frac * n_tiles)))
+            # tile_capacity becomes the (small) overflow row-gather cap
+            tile_cap = max(1, int(round(self.bp_overflow_frac * n_tiles)))
         vol, valid = batch_map(
             lambda p, f, v: accumulate_views(
                 p, f, v, self.voxel_dim, self.voxel_size, origin,
                 accum_dtype=jnp.dtype(self.bp_accum_dtype),
-                tile=tile, tile_capacity=tile_cap),
+                tile=tile, tile_capacity=tile_cap,
+                rect=rect, rect_capacity=rect_cap),
             proj, feats, view_valid)
         return vol, valid
 

@@ -87,6 +87,42 @@ def _project_indices_tiled(projection: jnp.ndarray, voxel_dim, tile: int,
             valid.reshape(n_tiles, t * t * t))
 
 
+def _project_pixels_tiled(projection: jnp.ndarray, voxel_dim, tile: int,
+                          voxel_size, origin: jnp.ndarray, height: int,
+                          width: int
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Like ``_project_indices_tiled`` but keeps (px, py) separate.
+
+    Returns ([Nt, t³] px, [Nt, t³] py, [Nt, t³] valid); px/py are clipped
+    in-bounds (valid=False where the true pixel was outside).
+    """
+    X, Y, Z = voxel_dim
+    t = tile
+    nx, ny, nz = X // t, Y // t, Z // t
+    xs = (jnp.arange(X, dtype=jnp.float32) * voxel_size
+          + origin[0]).reshape(nx, 1, 1, t, 1, 1)
+    ys = (jnp.arange(Y, dtype=jnp.float32) * voxel_size
+          + origin[1]).reshape(1, ny, 1, 1, t, 1)
+    zs = (jnp.arange(Z, dtype=jnp.float32) * voxel_size
+          + origin[2]).reshape(1, 1, nz, 1, 1, t)
+
+    def cam_row(k):
+        return (projection[k, 0] * xs + projection[k, 1] * ys
+                + projection[k, 2] * zs + projection[k, 3])
+
+    pz = cam_row(2)
+    inv_z = jnp.where(pz != 0, 1.0 / pz, 0.0)
+    px = jnp.round(cam_row(0) * inv_z).astype(jnp.int32)
+    py = jnp.round(cam_row(1) * inv_z).astype(jnp.int32)
+    valid = ((px >= 0) & (py >= 0) & (px < width) & (py < height)
+             & (pz > 0))
+    n_tiles = nx * ny * nz
+    shape = (n_tiles, t * t * t)
+    return (jnp.clip(px, 0, width - 1).reshape(shape),
+            jnp.clip(py, 0, height - 1).reshape(shape),
+            valid.reshape(shape))
+
+
 def backproject_view(projection: jnp.ndarray,
                      feature: jnp.ndarray,
                      voxel_dim: Sequence[int],
@@ -136,7 +172,9 @@ def accumulate_views_partial(projections: jnp.ndarray,
                              accum_dtype=jnp.float32,
                              view_chunk: int = 4,
                              tile: int = 0,
-                             tile_capacity: int = 0
+                             tile_capacity: int = 0,
+                             rect: Tuple[int, int] = (0, 0),
+                             rect_capacity: int = 0
                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Unnormalized (volume sum, view count) accumulation over views.
 
@@ -174,6 +212,15 @@ def accumulate_views_partial(projections: jnp.ndarray,
         if X % tile or Y % tile or Z % tile:
             raise ValueError(f"voxel_dim {tuple(voxel_dim)} not divisible "
                              f"by tile {tile}")
+        if rect[0] and rect[1]:
+            # rect-footprint path: rect tiles via span-gather + one-hot
+            # matmul at capacity ``rect_capacity``; oversized-footprint
+            # tiles via row gather at capacity ``tile_capacity``
+            return _accum_core_rect(
+                tuple(voxel_dim), float(voxel_size), int(tile),
+                (int(rect[0]), int(rect[1])), int(rect_capacity),
+                int(tile_capacity), jnp.dtype(accum_dtype).name,
+                projections, features, view_valid, origin)
         return _accum_core_tiled(
             tuple(voxel_dim), float(voxel_size), int(tile),
             int(tile_capacity), jnp.dtype(accum_dtype).name,
@@ -444,6 +491,246 @@ def _accum_core_tiled_bwd(voxel_dim, voxel_size, tile, tile_capacity,
 _accum_core_tiled.defvjp(_accum_core_tiled_fwd, _accum_core_tiled_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Rect-footprint accumulation: the tiled path above is index-rate-bound —
+# one row gather per in-frustum voxel (~110M/scene at full scale, the
+# measured ~0.21 G rows/s XLA gather ceiling — doc/performance.md).  A
+# tile's voxels project into a small contiguous pixel RECT, so instead of
+# 512 row gathers per tile we can load the rect with ``Rh`` span gathers
+# (long contiguous [Rw, C] slices) and pick each voxel's pixel out of the
+# rect with a one-hot matmul on the MXU — ~20x fewer gather indices, with
+# the selection moved to compute.  Tiles whose footprint exceeds the
+# static ``Rh x Rw`` rect (near-camera tiles — few) take the row-gather
+# path at a second static capacity.  Exact vs the dense path under the
+# same capacity caveats as the tiled path (kept = highest in-frustum
+# count per class); requires bf16-exact features (the one-hot matmul
+# multiplies each feature by exactly 1.0, so any dtype is value-exact —
+# but accumulation casts through the feature dtype like the other paths).
+
+
+def _rect_select(px, py, valid, rh, rw, k_rect, k_over):
+    """Per-view tile classification + top-k selection.
+
+    Returns (tids_r [K1], sel_r [K1], tids_o [K2], sel_o [K2], rx0, ry0)
+    where sel_* masks the slots actually backed by a qualifying tile.
+    """
+    big = jnp.int32(1 << 20)
+    pxm = jnp.min(jnp.where(valid, px, big), axis=1)
+    pxM = jnp.max(jnp.where(valid, px, -1), axis=1)
+    pym = jnp.min(jnp.where(valid, py, big), axis=1)
+    pyM = jnp.max(jnp.where(valid, py, -1), axis=1)
+    has = valid.any(axis=1)
+    fits = has & (pxM - pxm < rw) & (pyM - pym < rh)
+    score = valid.sum(axis=1, dtype=jnp.int32)
+    sr = jnp.where(fits, score, -1)
+    _, tids_r = jax.lax.top_k(sr, k_rect)
+    sel_r = jnp.take(sr, tids_r) >= 0
+    so = jnp.where(has & ~fits, score, -1)
+    _, tids_o = jax.lax.top_k(so, k_over)
+    sel_o = jnp.take(so, tids_o) >= 0
+    return tids_r, sel_r, tids_o, sel_o, pxm, pym
+
+
+_RECT_CHUNK = 256   # tiles per one-hot matmul step (bounds the operand)
+
+
+def _rect_caps(n_tiles: int, k_rect: int, k_over: int) -> Tuple[int, int]:
+    """Static (K1, K2): K1 a multiple of the one-hot chunk size."""
+    K1 = min(n_tiles, max(1, int(k_rect)))
+    if K1 >= _RECT_CHUNK:
+        K1 = (K1 // _RECT_CHUNK) * _RECT_CHUNK
+    K2 = max(1, min(n_tiles, int(k_over)))
+    return K1, K2
+
+
+def _rect_gather_rows(feat, px, py, valid, tids_r, sel_r, pxm, pym,
+                      rh, rw, t3, accum_dtype):
+    """Rect-load + one-hot-matmul features for the selected rect tiles.
+
+    Returns rows [K1, C, t3] (channel-major within tile) in accum_dtype.
+    """
+    H, W, C = feat.shape
+    K1 = tids_r.shape[0]
+    rp = rh * rw
+    ry0 = jnp.clip(jnp.take(pym, tids_r), 0, H - rh)
+    rx0 = jnp.clip(jnp.take(pxm, tids_r), 0, W - rw)
+    starts = jnp.stack(
+        [jnp.repeat(ry0, rh)
+         + jnp.tile(jnp.arange(rh, dtype=jnp.int32), K1),
+         jnp.repeat(rx0, rh)], axis=-1)                       # [K1*rh, 2]
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+    rect = jax.lax.gather(
+        feat, starts, dn, slice_sizes=(1, rw, C),
+        mode=jax.lax.GatherScatterMode.CLIP).reshape(K1, rp, C)
+    # local pixel within the rect; anything outside -> rp (one-hot
+    # matches nothing -> zero row), which also zeroes unselected slots
+    lx = jnp.take(px, tids_r, axis=0) - rx0[:, None]
+    ly = jnp.take(py, tids_r, axis=0) - ry0[:, None]
+    inside = ((lx >= 0) & (lx < rw) & (ly >= 0) & (ly < rh)
+              & jnp.take(valid, tids_r, axis=0) & sel_r[:, None])
+    pl = jnp.where(inside, ly * rw + lx, rp)                  # [K1, t3]
+
+    ch = min(_RECT_CHUNK, K1)
+    n_ch = K1 // ch
+    rect = rect.reshape(n_ch, ch, rp, C)
+    pl_c = pl.reshape(n_ch, ch, t3)
+
+    def body(_, inp):
+        r, p = inp
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (ch, rp, t3), 1)
+              == p[:, None, :]).astype(r.dtype)
+        # [ch, C, rp] @ [ch, rp, t3] -> [ch, C, t3]: output minor dim t3
+        # is lane-aligned (the vpc orientation pads C=34 -> 128 lanes)
+        return None, jnp.einsum("kpc,kpv->kcv", r, oh,
+                                preferred_element_type=jnp.float32)
+    _, out = jax.lax.scan(body, None, (rect, pl_c))
+    return out.reshape(K1, C, t3).astype(accum_dtype)
+
+
+def _accum_impl_rect(voxel_dim, voxel_size, tile, rect_hw, k_rect, k_over,
+                     accum_dtype_name, projections, features, view_valid,
+                     origin):
+    accum_dtype = jnp.dtype(accum_dtype_name)
+    X, Y, Z = voxel_dim
+    t = tile
+    t3 = t * t * t
+    nx, ny, nz = X // t, Y // t, Z // t
+    n_tiles = nx * ny * nz
+    rh, rw = rect_hw
+    V, H, W, C = features.shape
+    rh, rw = min(rh, H), min(rw, W)
+    K1, K2 = _rect_caps(n_tiles, k_rect, k_over)
+
+    def body(carry, inp):
+        vol_acc, cnt_acc = carry
+        p, feat, ok = inp
+        px, py, valid = _project_pixels_tiled(
+            p, voxel_dim, t, voxel_size, origin, H, W)
+        tids_r, sel_r, tids_o, sel_o, pxm, pym = _rect_select(
+            px, py, valid, rh, rw, K1, K2)
+        rows_r = _rect_gather_rows(feat, px, py, valid, tids_r, sel_r,
+                                   pxm, pym, rh, rw, t3, accum_dtype)
+        # overflow tiles: the tiled path's per-voxel row gather
+        idx_o = (jnp.take(py, tids_o, axis=0) * W
+                 + jnp.take(px, tids_o, axis=0))              # [K2, t3]
+        val_o = jnp.take(valid, tids_o, axis=0) & sel_o[:, None]
+        g = jnp.take(feat.reshape(H * W, C), idx_o.reshape(-1), axis=0)
+        rows_o = jnp.where(val_o.reshape(-1)[:, None], g,
+                           jnp.zeros((), g.dtype))
+        rows_o = (rows_o.reshape(K2, t3, C).transpose(0, 2, 1)
+                  .astype(accum_dtype))                       # [K2, C, t3]
+        okf = ok.astype(accum_dtype)
+        # inverse permutation: tile -> row in concat(rect, overflow, zero)
+        zero_row = K1 + K2
+        inv = jnp.full((n_tiles,), zero_row, jnp.int32)
+        inv = inv.at[jnp.where(sel_r, tids_r, n_tiles)].set(
+            jnp.arange(K1, dtype=jnp.int32), mode="drop")
+        inv = inv.at[jnp.where(sel_o, tids_o, n_tiles)].set(
+            jnp.arange(K1, K1 + K2, dtype=jnp.int32), mode="drop")
+        rows_ext = jnp.concatenate(
+            [rows_r.reshape(K1, C * t3) * okf,
+             rows_o.reshape(K2, C * t3) * okf,
+             jnp.zeros((1, C * t3), accum_dtype)], axis=0)
+        val_r = jnp.take(valid, tids_r, axis=0) & sel_r[:, None]
+        cnt_ext = jnp.concatenate(
+            [val_r.astype(jnp.float32), val_o.astype(jnp.float32),
+             jnp.zeros((1, t3), jnp.float32)], axis=0
+        ) * ok.astype(jnp.float32)
+        vol_acc = vol_acc + jnp.take(rows_ext, inv, axis=0)
+        cnt_acc = cnt_acc + jnp.take(cnt_ext, inv, axis=0)
+        return (vol_acc, cnt_acc), None
+
+    init = (jnp.zeros((n_tiles, C * t3), accum_dtype),
+            jnp.zeros((n_tiles, t3), jnp.float32))
+    (vol, cnt), _ = jax.lax.scan(body, init,
+                                 (projections, features, view_valid))
+    vol = (vol.reshape(nx, ny, nz, C, t, t, t)
+           .transpose(0, 4, 1, 5, 2, 6, 3).reshape(X, Y, Z, C))
+    cnt = (cnt.reshape(nx, ny, nz, t, t, t)
+           .transpose(0, 3, 1, 4, 2, 5).reshape(X, Y, Z))
+    return vol, cnt
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _accum_core_rect(voxel_dim, voxel_size, tile, rect_hw, k_rect, k_over,
+                     accum_dtype_name, projections, features, view_valid,
+                     origin):
+    return _accum_impl_rect(voxel_dim, voxel_size, tile, rect_hw, k_rect,
+                            k_over, accum_dtype_name, projections,
+                            features, view_valid, origin)
+
+
+def _accum_core_rect_fwd(voxel_dim, voxel_size, tile, rect_hw, k_rect,
+                         k_over, accum_dtype_name, projections, features,
+                         view_valid, origin):
+    out = _accum_impl_rect(voxel_dim, voxel_size, tile, rect_hw, k_rect,
+                           k_over, accum_dtype_name, projections,
+                           features, view_valid, origin)
+    res = (projections, view_valid, origin,
+           jnp.zeros((0,) + features.shape[1:], features.dtype))
+    return out, res
+
+
+def _accum_core_rect_bwd(voxel_dim, voxel_size, tile, rect_hw, k_rect,
+                         k_over, accum_dtype_name, res, g):
+    """Pixel scatter-add of g over exactly the voxels the forward kept
+    (both tile classes), recomputing the deterministic selection."""
+    import numpy as _np
+
+    accum_dtype = jnp.dtype(accum_dtype_name)
+    projections, view_valid, origin, fcarrier = res
+    fdtype = fcarrier.dtype
+    H, W, C = fcarrier.shape[1:]
+    g_vol, _g_cnt = g
+    X, Y, Z = voxel_dim
+    t = tile
+    t3 = t * t * t
+    nx, ny, nz = X // t, Y // t, Z // t
+    n_tiles = nx * ny * nz
+    rh, rw = rect_hw
+    rh, rw = min(rh, H), min(rw, W)
+    K1, K2 = _rect_caps(n_tiles, k_rect, k_over)
+    g_tiles = (g_vol.reshape(nx, t, ny, t, nz, t, C)
+               .transpose(0, 2, 4, 1, 3, 5, 6)
+               .reshape(n_tiles, t3, C).astype(accum_dtype))
+    sentinel = H * W
+
+    def body(_, pv):
+        p, ok = pv
+        px, py, valid = _project_pixels_tiled(
+            p, voxel_dim, t, voxel_size, origin, H, W)
+        tids_r, sel_r, tids_o, sel_o, pxm, pym = _rect_select(
+            px, py, valid, rh, rw, K1, K2)
+        ry0 = jnp.clip(jnp.take(pym, tids_r), 0, H - rh)
+        rx0 = jnp.clip(jnp.take(pxm, tids_r), 0, W - rw)
+        lx = jnp.take(px, tids_r, axis=0) - rx0[:, None]
+        ly = jnp.take(py, tids_r, axis=0) - ry0[:, None]
+        keep_r = ((lx >= 0) & (lx < rw) & (ly >= 0) & (ly < rh)
+                  & jnp.take(valid, tids_r, axis=0) & sel_r[:, None])
+        keep_o = jnp.take(valid, tids_o, axis=0) & sel_o[:, None]
+        tids = jnp.concatenate([tids_r, tids_o])
+        keep = jnp.concatenate([keep_r, keep_o]).reshape(-1)
+        pix = (jnp.take(py, tids, axis=0) * W
+               + jnp.take(px, tids, axis=0)).reshape(-1)
+        g_k = jnp.take(g_tiles, tids, axis=0).reshape(-1, C)
+        tgt = jnp.where(keep, pix, sentinel)
+        tbl = jnp.zeros((H * W + 1, C), accum_dtype)
+        tbl = tbl.at[tgt].add(g_k)
+        okf = ok.astype(accum_dtype)
+        return None, (tbl[:H * W] * okf).reshape(H, W, C).astype(fdtype)
+
+    _, g_feats = jax.lax.scan(body, None, (projections, view_valid))
+    g_proj = jnp.zeros_like(projections)
+    g_valid = _np.zeros(view_valid.shape, jax.dtypes.float0)
+    g_origin = jnp.zeros_like(origin)
+    return g_proj, g_feats, g_valid, g_origin
+
+
+_accum_core_rect.defvjp(_accum_core_rect_fwd, _accum_core_rect_bwd)
+
+
 def _normalize_volume(vol_sum: jnp.ndarray, cnt: jnp.ndarray, dtype
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     denom = jnp.where(cnt > 0, cnt, 1.0)
@@ -459,7 +746,9 @@ def accumulate_views(projections: jnp.ndarray,
                      accum_dtype=jnp.float32,
                      view_chunk: int = 4,
                      tile: int = 0,
-                     tile_capacity: int = 0
+                     tile_capacity: int = 0,
+                     rect: Tuple[int, int] = (0, 0),
+                     rect_capacity: int = 0
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Accumulate all views into a normalized feature volume.
 
@@ -479,7 +768,8 @@ def accumulate_views(projections: jnp.ndarray,
     vol, cnt = accumulate_views_partial(
         projections, features, view_valid, voxel_dim, voxel_size, origin,
         accum_dtype=accum_dtype, view_chunk=view_chunk, tile=tile,
-        tile_capacity=tile_capacity)
+        tile_capacity=tile_capacity, rect=rect,
+        rect_capacity=rect_capacity)
     return _normalize_volume(vol, cnt, features.dtype)
 
 

@@ -24,6 +24,7 @@ checkpoint conversion).
 from __future__ import annotations
 
 import itertools
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -32,7 +33,15 @@ import numpy as np
 from flax import struct
 
 from cnrma_tpu.ops.voxelize import (
-    SENTINEL_KEY, VoxelGrid, lookup, sort_by_key, unique_sorted)
+    SENTINEL_KEY, VoxelGrid, lattice_cells, lookup, lookup_lut,
+    sort_by_key, unique_sorted)
+
+# Kernel maps whose stride lattice has at most this many cells use the
+# dense rank-LUT lookup (one scatter + direct gathers) instead of the
+# sort-based searchsorted; 0 disables.  On the default VoxelGrid the
+# lattice is 134 MB int32 at stride 4 and <= 17 MB at stride 8+.
+# Baked into traced programs at trace time.
+LUT_CELL_BUDGET = int(os.environ.get("CNRMA_SPARSE_LUT_BUDGET", "0"))
 
 
 @struct.dataclass
@@ -143,12 +152,24 @@ def kernel_map(st: SparseTensor, offsets: np.ndarray,
     s = st.stride if offset_stride is None else offset_stride
     offs = jnp.asarray(offsets, jnp.int32) * s                   # [K,3]
     q = query_coords[None, :, :] + offs[:, None, :]              # [K,M,3]
+    k, m = offs.shape[0], query_coords.shape[0]
+    q_valid = jnp.ones((k, m), bool) if query_keys is None else \
+        jnp.broadcast_to((query_keys != SENTINEL_KEY)[None, :], (k, m))
+    # LUT path: every coord in a kernel map is a multiple of st.stride
+    # (SparseTensor invariant + offsets scaled by stride), the
+    # lookup_lut exactness contract
+    if (LUT_CELL_BUDGET
+            and lattice_cells(st.grid, st.stride) <= LUT_CELL_BUDGET
+            and all(int(o) % st.stride == 0
+                    for o in np.asarray(offs).reshape(-1))):
+        idx, found = lookup_lut(st.keys, st.coords, st.grid, st.stride,
+                                q.reshape(-1, 3), q_valid.reshape(-1))
+        return idx.reshape(k, m), found.reshape(k, m)
     qkeys = st.grid.pack(q)
     if query_keys is not None:
         qkeys = jnp.where((query_keys == SENTINEL_KEY)[None, :],
                           SENTINEL_KEY, qkeys)
     idx, found = lookup(st.keys, qkeys.reshape(-1))
-    k, m = offs.shape[0], query_coords.shape[0]
     return idx.reshape(k, m), found.reshape(k, m)
 
 

@@ -149,6 +149,46 @@ class TestBackproject:
             # terms (what the bf16 U-Net consuming the volume resolves)
             assert np.abs(b - r).max() < 0.05, (kw, np.abs(b - r).max())
 
+    def test_rect_matches_dense(self):
+        """The rect-footprint path (span gather + one-hot matmul for
+        small-footprint tiles, row gather for oversized ones) must
+        reproduce the dense path exactly — forward AND gradients — when
+        both capacities fit."""
+        rng = np.random.RandomState(5)
+        V, H, W, C = 3, 24, 32, 4
+        dim = (16, 16, 8)              # 4 tiles of 8^3
+        feats = jnp.asarray(rng.rand(V, H, W, C).astype(np.float32))
+        proj = simple_projection()
+        # vary projections so footprints differ across views
+        projs = np.stack([proj] * V).astype(np.float32)
+        projs[1, :2, 3] += 1.0
+        projs = jnp.asarray(projs)
+        valid = jnp.array([True, True, False])
+        origin = jnp.array([-1.9, -0.1, 0.1])
+        args = (projs, feats, valid, dim, 0.25, origin)
+
+        dense = accumulate_views(*args)
+        for rect in ((64, 64),      # everything fits the rect path
+                     (2, 2)):       # everything overflows to row gather
+            got = accumulate_views(*args, tile=8, tile_capacity=4,
+                                   rect=rect, rect_capacity=4)
+            np.testing.assert_allclose(np.asarray(got[0]),
+                                       np.asarray(dense[0]), atol=1e-6,
+                                       err_msg=str(rect))
+            np.testing.assert_array_equal(np.asarray(got[1]),
+                                          np.asarray(dense[1]))
+
+        def loss(fn):
+            def f(feats_):
+                vol, _ = fn(projs, feats_, valid, dim, 0.25, origin)
+                return jnp.sum(vol * vol) + jnp.sum(vol)
+            return jax.grad(f)(feats)
+        g_dense = loss(lambda *a: accumulate_views(*a))
+        g_rect = loss(lambda *a: accumulate_views(
+            *a, tile=8, tile_capacity=4, rect=(64, 64), rect_capacity=4))
+        np.testing.assert_allclose(np.asarray(g_rect),
+                                   np.asarray(g_dense), atol=1e-5)
+
     def test_tiled_overflow_keeps_fullest_tiles(self):
         """Over capacity, the fullest tiles win and dropped tiles lose
         only that view's contribution (count stays consistent with the

@@ -168,6 +168,62 @@ class TestSubmConv:
                                    np.asarray(out2.feats), atol=1e-6)
 
 
+class TestLutKernelMap:
+    """The dense-LUT kernel-map path (CNRMA_SPARSE_LUT_BUDGET) must be
+    bit-identical to the sort-based searchsorted path."""
+
+    def _random_st(self, rng, stride, n=64, cap=96):
+        lo = np.array([-32, -32, 0]) // stride * stride
+        coords = np.unique(
+            rng.randint(0, 16, (n, 3)) * stride + lo, axis=0)
+        feats = rng.randn(len(coords), 4).astype(np.float32)
+        return make_sparse(coords, feats, capacity=cap, stride=stride)
+
+    @pytest.mark.parametrize("stride", [4, 8, 32])
+    def test_matches_sort_path(self, monkeypatch, stride):
+        import cnrma_tpu.ops.sparse as sparse_mod
+        rng = np.random.RandomState(stride)
+        st = self._random_st(rng, stride)
+        offs = kernel_offsets(3)
+        idx0, fnd0 = kernel_map(st, offs)
+        monkeypatch.setattr(sparse_mod, "LUT_CELL_BUDGET", 1 << 28)
+        idx1, fnd1 = kernel_map(st, offs)
+        np.testing.assert_array_equal(np.asarray(fnd0), np.asarray(fnd1))
+        # idx only matters where found
+        f = np.asarray(fnd0)
+        np.testing.assert_array_equal(np.asarray(idx0)[f],
+                                      np.asarray(idx1)[f])
+
+    def test_strided_and_pool_queries(self, monkeypatch):
+        import cnrma_tpu.ops.sparse as sparse_mod
+        rng = np.random.RandomState(7)
+        st = self._random_st(rng, 4)
+        w = rng.randn(27, 4, 3).astype(np.float32) * 0.1
+        ref_conv = strided_conv(st, jnp.asarray(w), 2, 48)
+        ref_pool = max_pool(st, 2, 48)
+        monkeypatch.setattr(sparse_mod, "LUT_CELL_BUDGET", 1 << 28)
+        lut_conv = strided_conv(st, jnp.asarray(w), 2, 48)
+        lut_pool = max_pool(st, 2, 48)
+        np.testing.assert_array_equal(np.asarray(ref_conv.keys),
+                                      np.asarray(lut_conv.keys))
+        np.testing.assert_allclose(np.asarray(ref_conv.feats),
+                                   np.asarray(lut_conv.feats), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ref_pool.feats),
+                                   np.asarray(lut_pool.feats), atol=1e-6)
+
+    def test_budget_respects_lattice_size(self, monkeypatch):
+        # stride-1 lattice (2.1G cells) must NOT take the LUT path even
+        # with a large-but-smaller budget
+        import cnrma_tpu.ops.sparse as sparse_mod
+        from cnrma_tpu.ops.voxelize import lattice_cells
+        assert lattice_cells(GRID, 1) > (1 << 28)
+        rng = np.random.RandomState(3)
+        st = self._random_st(rng, 1)
+        monkeypatch.setattr(sparse_mod, "LUT_CELL_BUDGET", 1 << 28)
+        idx, fnd = kernel_map(st, kernel_offsets(3))   # sort path, no OOM
+        assert idx.shape == fnd.shape == (27, st.capacity)
+
+
 class TestStridedOps:
     def test_downsample_coords(self):
         coords = [[0, 0, 0], [1, 1, 1], [2, 0, 0], [5, 5, 5]]

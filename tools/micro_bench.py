@@ -266,6 +266,152 @@ def main():
             t = timeit(fj, feats, w, keys)
             results[f"gentrans_{N}x{Cin}x{Cout}"] = (t, f"8N={8 * N}")
 
+    if "rect" in names:
+        # Candidate reformulation of the volume-accumulation gather
+        # (doc/performance.md: 982 ms stage, ~110M row gathers/scene at
+        # the 0.21 G rows/s XLA gather ceiling).  Instead of one row
+        # gather per in-frustum voxel, load each kept tile's pixel
+        # FOOTPRINT RECT (few long contiguous spans) and pick every
+        # voxel's pixel out of the rect with a one-hot matmul on the MXU.
+        # Index count drops ~20x (K*Rh span starts vs K*512 rows); the
+        # selection moves to compute.  Shapes = one full-scale view:
+        # K=4096 kept 8^3 tiles, rect 24x32, feature 120x160x34.
+        H, W, C = 120, 160, 34
+        K, Rh, Rw, t3 = 4096, 24, 32, 512
+        Rp = Rh * Rw
+        feat = jnp.asarray(rng.rand(H, W, C).astype(np.float32))
+        ry0 = jnp.asarray(rng.randint(0, H - Rh, K).astype(np.int32))
+        rx0 = jnp.asarray(rng.randint(0, W - Rw, K).astype(np.int32))
+        # per-voxel pixel inside its tile's rect (local coords)
+        ply = jnp.asarray(rng.randint(0, Rh, (K, t3)).astype(np.int32))
+        plx = jnp.asarray(rng.randint(0, Rw, (K, t3)).astype(np.int32))
+        p_local = ply * Rw + plx                              # [K, t3]
+
+        # baseline: the current per-voxel row gather at the same volume
+        gidx = jnp.asarray(
+            rng.randint(0, H * W, K * t3).astype(np.int32))
+        fb = jax.jit(lambda f, i: jnp.take(f.reshape(H * W, C), i,
+                                           axis=0))
+        dt = timeit(fb, feat, gidx)
+        results["rect_base_rowgather"] = (
+            dt, f"{K * t3 / dt / 1e9:.3f} G rows/s")
+
+        # 1. span gather alone: [K*Rh] (y, x0) starts, slices (1, Rw, C)
+        starts = jnp.stack(
+            [jnp.repeat(ry0, Rh) + jnp.tile(jnp.arange(Rh), K),
+             jnp.repeat(rx0, Rh)], axis=-1).astype(jnp.int32)  # [K*Rh,2]
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+            start_index_map=(0, 1))
+
+        def span_gather(f, s):
+            out = jax.lax.gather(
+                f, s, dn, slice_sizes=(1, Rw, C),
+                mode=jax.lax.GatherScatterMode.CLIP)
+            return out.reshape(K, Rp, C)
+        fj = jax.jit(span_gather)
+        dt = timeit(fj, feat, starts)
+        results["rect_span_gather"] = (
+            dt, f"{K * Rh / dt / 1e6:.2f} M spans/s, "
+                f"{K * Rp * C * 4 / dt / 1e9:.1f} GB/s")
+        fj16 = jax.jit(span_gather)
+        dt = timeit(fj16, feat.astype(jnp.bfloat16), starts)
+        results["rect_span_gather_bf16"] = (
+            dt, f"{K * Rh / dt / 1e6:.2f} M spans/s")
+
+        # 2. one-hot select out of the rect, scan-chunked (the [chunk,
+        # t3, Rp] one-hot operand must stay ~100 MB).  Two matmul
+        # orientations: vpc (output minor dim C=34, lane-padded 4x) and
+        # cpv (output minor dim t3=512, only sublane padding on C).
+        CH = 512
+        n_ch = K // CH
+
+        def onehot_vpc(rect, pl):
+            # rect [K,Rp,C] bf16, pl [K,t3] -> [K,t3,C]
+            rect = rect.reshape(n_ch, CH, Rp, -1)
+            pl = pl.reshape(n_ch, CH, t3)
+
+            def body(_, inp):
+                r, p = inp
+                oh = (jax.lax.broadcasted_iota(
+                    jnp.int32, (CH, t3, Rp), 2) == p[:, :, None]
+                ).astype(r.dtype)
+                return None, jnp.einsum(
+                    "kvp,kpc->kvc", oh, r,
+                    preferred_element_type=jnp.float32)
+            _, out = jax.lax.scan(body, None, (rect, pl))
+            return out
+
+        def onehot_cpv(rect, pl):
+            # rect [K,Rp,C] -> transposed matmul, output [K,C,t3]
+            rect = rect.reshape(n_ch, CH, Rp, -1)
+            pl = pl.reshape(n_ch, CH, t3)
+
+            def body(_, inp):
+                r, p = inp
+                oh = (jax.lax.broadcasted_iota(
+                    jnp.int32, (CH, Rp, t3), 1) == p[:, None, :]
+                ).astype(r.dtype)
+                return None, jnp.einsum(
+                    "kpc,kpv->kcv", r, oh,
+                    preferred_element_type=jnp.float32)
+            _, out = jax.lax.scan(body, None, (rect, pl))
+            return out
+
+        rect16 = jnp.asarray(
+            rng.rand(K, Rp, C).astype(np.float32)).astype(jnp.bfloat16)
+        for nm, fn in (("vpc", onehot_vpc), ("cpv", onehot_cpv)):
+            fj = jax.jit(fn)
+            dt = timeit(fj, rect16, p_local)
+            flops = 2 * K * t3 * Rp * C
+            results[f"rect_onehot_{nm}"] = (
+                dt, f"{flops / dt / 1e12:.1f} TFLOP/s useful")
+
+        # 3. fused end-to-end candidate vs baseline, per view
+        def rect_full(f, s, pl):
+            rect = span_gather(f, s).astype(jnp.bfloat16)
+            return onehot_cpv(rect, pl)
+        fj = jax.jit(rect_full)
+        dt = timeit(fj, feat, starts, p_local)
+        results["rect_full_cpv"] = (
+            dt, f"vs base {K * t3} row gathers")
+
+    if "lutmap" in names:
+        # Kernel-map lookup via a dense rank LUT on the stride lattice
+        # (scatter N ranks once, then 27N direct gathers) vs the
+        # sort-based searchsorted.  Viable for stride>=4 coordinate sets
+        # (lattice fits memory: s4 -> 512*512*128 cells = 134 MB int32).
+        gx, gy, gz = 512, 512, 128
+        cells = gx * gy * gz
+        for N in (32768, 131072):
+            lin = rng.choice(cells, N, replace=False).astype(np.int32)
+            lin.sort()
+            keys = jnp.asarray(lin)
+            q = jnp.asarray(rng.randint(0, cells, 27 * N).astype(np.int32))
+            f_sort = jax.jit(lambda k, q: jnp.searchsorted(
+                k, q, method="sort"))
+            results[f"lutmap_sort_{N}"] = (
+                timeit(f_sort, keys, q), f"27N={27 * N}")
+
+            def f_lut(k, q):
+                tbl = jnp.zeros((cells,), jnp.int32).at[k].set(
+                    jnp.arange(1, N + 1, dtype=jnp.int32),
+                    mode="drop", unique_indices=True)
+                idx = jnp.take(tbl, q)
+                return idx - 1, idx > 0
+            results[f"lutmap_lut_{N}"] = (
+                timeit(jax.jit(f_lut), keys, q),
+                f"{cells / 1e6:.0f}M-cell table")
+
+            def f_lut_cached(tbl, q):
+                idx = jnp.take(tbl, q)
+                return idx - 1, idx > 0
+            tbl = jnp.zeros((cells,), jnp.int32).at[keys].set(
+                jnp.arange(1, N + 1, dtype=jnp.int32))
+            results[f"lutmap_gatheronly_{N}"] = (
+                timeit(jax.jit(f_lut_cached), tbl, q),
+                f"27N={27 * N} direct gathers")
+
     if "conv3d" in names:
         x = jnp.asarray(rng.rand(1, 256, 256, 96, 32).astype(np.float32))
         w = jnp.asarray(rng.rand(3, 3, 3, 32, 32).astype(np.float32) * .01)
