@@ -133,6 +133,12 @@ def build_bench(scale: str, batch: int = 1):
         **(dict(bp_rect_h=int(os.environ["BENCH_RECT"].split("x")[0]),
                 bp_rect_w=int(os.environ["BENCH_RECT"].split("x")[1]))
            if os.environ.get("BENCH_RECT") else {}),
+        # A/B knob for the coarse-march stride of empty-space skipping
+        # (ops/ray_marching.py build_occupancy: the dilated band is >= 3
+        # coarse cells = 24 fine voxels thick, so steps <= 8+round-error
+        # cannot skip it); default 4
+        **(dict(ray_skip_coarse_step=int(os.environ["BENCH_RAY_COARSE"]))
+           if os.environ.get("BENCH_RAY_COARSE") else {}),
         compute_dtype=jnp.bfloat16)
 
     v, h, w = dims["views"], dims["h"], dims["w"]
