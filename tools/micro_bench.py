@@ -50,6 +50,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # sitecustomize pins jax_platforms via jax.config (wins over the env
+    # var) — re-apply the env so JAX_PLATFORMS=cpu smoke runs work
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     names = sys.argv[1:] or ["scalar_gather", "row_gather", "compact",
                              "topk", "segsum", "conv3d", "matmul"]
     rng = np.random.RandomState(0)
@@ -276,8 +281,10 @@ def main():
         # Index count drops ~20x (K*Rh span starts vs K*512 rows); the
         # selection moves to compute.  Shapes = one full-scale view:
         # K=4096 kept 8^3 tiles, rect 24x32, feature 120x160x34.
+        # MICRO_SMALL=1 shrinks everything for a CPU smoke run.
+        small = bool(os.environ.get("MICRO_SMALL"))
         H, W, C = 120, 160, 34
-        K, Rh, Rw, t3 = 4096, 24, 32, 512
+        K, Rh, Rw, t3 = (64, 8, 16, 64) if small else (4096, 24, 32, 512)
         Rp = Rh * Rw
         feat = jnp.asarray(rng.rand(H, W, C).astype(np.float32))
         ry0 = jnp.asarray(rng.randint(0, H - Rh, K).astype(np.int32))
@@ -323,7 +330,7 @@ def main():
         # t3, Rp] one-hot operand must stay ~100 MB).  Two matmul
         # orientations: vpc (output minor dim C=34, lane-padded 4x) and
         # cpv (output minor dim t3=512, only sublane padding on C).
-        CH = 512
+        CH = min(512, K)
         n_ch = K // CH
 
         def onehot_vpc(rect, pl):
@@ -381,9 +388,10 @@ def main():
         # (scatter N ranks once, then 27N direct gathers) vs the
         # sort-based searchsorted.  Viable for stride>=4 coordinate sets
         # (lattice fits memory: s4 -> 512*512*128 cells = 134 MB int32).
-        gx, gy, gz = 512, 512, 128
+        small = bool(os.environ.get("MICRO_SMALL"))
+        gx, gy, gz = (64, 64, 16) if small else (512, 512, 128)
         cells = gx * gy * gz
-        for N in (32768, 131072):
+        for N in (512,) if small else (32768, 131072):
             lin = rng.choice(cells, N, replace=False).astype(np.int32)
             lin.sort()
             keys = jnp.asarray(lin)
