@@ -387,10 +387,15 @@ class TestRayMarching:
         assert occ2[:, :, 3].all() and occ2[:, :, 4].all()
         assert not occ2[:, :, :2].any() and not occ2[:, :, 6:].any()
 
-    def test_ray_march_neus_skip_matches_dense(self):
+    @pytest.mark.parametrize("coarse_step", [4, 8])
+    def test_ray_march_neus_skip_matches_dense(self, coarse_step):
         """Empty-space skipping must keep the dense march's point set on a
         single-surface scene (transmittance is exactly 1 ahead of the
-        band, so windowed weights equal dense weights)."""
+        band, so windowed weights equal dense weights).  Parametrized
+        over the coarse-march stride: the dilated occupancy band is >= 3
+        coarse cells (24 fine voxels) thick along any ray, so steps up to
+        8 (+ half-cell round error) provably cannot skip it
+        (BENCH_RAY_COARSE A/B knob)."""
         from cnrma_tpu.ops.ray_marching import build_occupancy
         n, vs = 32, 0.0625
         z = np.arange(n) * vs
@@ -406,7 +411,7 @@ class TestRayMarching:
         occ = build_occupancy(jnp.asarray(tsdf), 8)
         skip = ray_march_neus(proj, jnp.asarray(tsdf), occupancy=occ,
                               skip_factor=8, skip_window=48,
-                              coarse_step=4, **kw)
+                              coarse_step=coarse_step, **kw)
         dw, sw = np.asarray(dense.weight), np.asarray(skip.weight)
         assert (dw > 0).sum() > 50
         assert (sw > 0).sum() == (dw > 0).sum()
