@@ -33,8 +33,8 @@ import numpy as np
 from flax import struct
 
 from cnrma_tpu.ops.voxelize import (
-    SENTINEL_KEY, VoxelGrid, lattice_cells, lookup, lookup_lut,
-    sort_by_key, unique_sorted)
+    SENTINEL_KEY, VoxelGrid, lattice_cells, lattice_index, lookup,
+    lookup_lut, sort_by_key, unique_sorted)
 
 # Kernel maps whose stride lattice has at most this many cells use the
 # dense rank-LUT lookup (one scatter + direct gathers) instead of the
@@ -230,9 +230,33 @@ def downsample_coords(st: SparseTensor, factor: int, capacity: int
     """Output coordinate set of a strided op: unique(floor(c / s´) * s´).
 
     Returns (keys [capacity] sorted, coords [capacity,3], run_id [N]).
+    run_id maps rows to output slots (capacity = dropped); its row
+    alignment is path-dependent (sorted order on the sort path, original
+    order on the LUT path) — no caller consumes it today.
+
+    When the output stride's lattice fits ``LUT_CELL_BUDGET`` the dedup
+    is sort-free: scatter an occupancy flag per input row, rank occupied
+    cells with a cumsum, and scatter keys to their ranks.  Cell order ==
+    ascending packed-key order (both are lex over shifted coords), so
+    the output is IDENTICAL to the sort-based path — including the
+    capacity-overflow rule (lowest-key cells win).
     """
     new_stride = st.stride * factor
     q = (st.coords // new_stride) * new_stride
+    if (LUT_CELL_BUDGET
+            and lattice_cells(st.grid, new_stride) <= LUT_CELL_BUDGET):
+        cells = lattice_cells(st.grid, new_stride)
+        cell = lattice_index(st.grid, new_stride, q, st.valid)    # [N]
+        occ = jnp.zeros((cells + 1,), jnp.int32).at[cell].set(
+            1, mode="drop", unique_indices=False)[:cells]
+        rank_incl = jnp.cumsum(occ)
+        slot = rank_incl[cell.clip(0, cells - 1)] - 1             # [N]
+        valid_in = st.valid & (cell < cells)
+        slot = jnp.where(valid_in & (slot < capacity), slot, capacity)
+        qkeys = jnp.where(valid_in, st.grid.pack(q), SENTINEL_KEY)
+        out_keys = jnp.full((capacity,), SENTINEL_KEY, jnp.int32
+                            ).at[slot].set(qkeys, mode="drop")
+        return out_keys, st.grid.unpack(out_keys), slot
     qkeys = jnp.where(st.valid, st.grid.pack(q), SENTINEL_KEY)
     keys_sorted, = sort_by_key(qkeys)
     out_keys, run_id, _ = unique_sorted(keys_sorted, capacity)

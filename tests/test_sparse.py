@@ -211,6 +211,21 @@ class TestLutKernelMap:
         np.testing.assert_allclose(np.asarray(ref_pool.feats),
                                    np.asarray(lut_pool.feats), atol=1e-6)
 
+    @pytest.mark.parametrize("factor", [2, 4])
+    def test_downsample_lut_identical(self, monkeypatch, factor):
+        # sort-free dedup must emit byte-identical (keys, coords) incl.
+        # the capacity-overflow rule (lowest keys win)
+        import cnrma_tpu.ops.sparse as sparse_mod
+        rng = np.random.RandomState(11)
+        st = self._random_st(rng, 4, n=80, cap=120)
+        for cap in (96, 5):
+            k0, c0, _ = downsample_coords(st, factor, cap)
+            monkeypatch.setattr(sparse_mod, "LUT_CELL_BUDGET", 1 << 28)
+            k1, c1, _ = downsample_coords(st, factor, cap)
+            monkeypatch.setattr(sparse_mod, "LUT_CELL_BUDGET", 0)
+            np.testing.assert_array_equal(np.asarray(k0), np.asarray(k1))
+            np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+
     def test_budget_respects_lattice_size(self, monkeypatch):
         # stride-1 lattice (2.1G cells) must NOT take the LUT path even
         # with a large-but-smaller budget
