@@ -279,10 +279,12 @@ def _result_line(value, used_scale):
         "metric": f"scannet_test_scenes_per_sec_per_chip({used_scale})",
         "value": round(value, 4),
         "unit": "scenes/sec",
-        # denominator is an ESTIMATE: the reference publishes no
-        # throughput (SURVEY.md §6); 0.125 scenes/sec/GPU assumed
         "vs_baseline": round(
             value / EST_REFERENCE_SCENES_PER_SEC_PER_GPU, 2),
+        # the reference publishes no throughput (SURVEY.md §6) — flag
+        # the denominator as an estimate IN the record
+        "baseline_note": "denominator 0.125 scenes/sec/GPU is an "
+                         "estimate; reference publishes no throughput",
     })
 
 

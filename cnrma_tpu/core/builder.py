@@ -9,6 +9,7 @@ only the knobs that parameterize the TPU model are read.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Mapping, Optional
 
 import jax.numpy as jnp
@@ -36,6 +37,14 @@ def build_model(cfg, mode: str = "train", view_mesh=None):
     (tools/test.py --view-shard)."""
     m = cfg["model"] if "model" in cfg.keys() else cfg
     model_type = m.get("type", "RayMarching")
+
+    # TPU-only extension knob: sparse kernel-map/dedup LUT budget in
+    # lattice cells (doc/performance.md).  A module-level trace-time
+    # switch (like CNRMA_SPARSE_LUT_BUDGET, which takes precedence).
+    if "sparse_lut_budget" in m.keys() and not os.environ.get(
+            "CNRMA_SPARSE_LUT_BUDGET"):
+        from cnrma_tpu.ops import sparse as _sparse
+        _sparse.LUT_CELL_BUDGET = int(m["sparse_lut_budget"])
 
     if model_type == "FCAF3DOnly":
         assigner = m.get("assigner", {})

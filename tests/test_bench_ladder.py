@@ -48,7 +48,9 @@ class TestLadder:
         # one line up front + one after each rung + one final
         assert len(out) == 5
         for d in out:
-            assert set(d) == {"metric", "value", "unit", "vs_baseline"}
+            assert {"metric", "value", "unit", "vs_baseline"} <= set(d)
+            if "(" in d["metric"]:     # a real rung: estimate is flagged
+                assert "estimate" in d["baseline_note"]
         # the LARGEST completed scale is the headline even when slower
         assert out[-1]["value"] == 0.3
         assert out[-1]["metric"].endswith("(full)")
