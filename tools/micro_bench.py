@@ -430,6 +430,61 @@ def main():
         flops = 2 * 256 * 256 * 96 * 27 * 32 * 32
         results["conv3d"] = (dt, f"{flops / dt / 1e12:.1f} TFLOP/s")
 
+    if "conv3dvar" in names:
+        # U-Net wall diagnosis: the finest level's k3 conv3d at C=32
+        # channels-last runs far below the MXU roofline.  Compare dtypes,
+        # layouts, and channel widths to find where the padding/layout
+        # tax is paid (doc/performance.md: stage 290 ms vs ~30 ms
+        # roofline).
+        small = bool(os.environ.get("MICRO_SMALL"))
+        X, Y, Z = (32, 32, 16) if small else (256, 256, 96)
+        flops27 = 2 * X * Y * Z * 27
+        for C, dt_ in ((32, "f32"), (32, "bf16"), (64, "bf16")):
+            dd = jnp.float32 if dt_ == "f32" else jnp.bfloat16
+            x = jnp.asarray(rng.rand(1, X, Y, Z, C).astype(np.float32)
+                            ).astype(dd)
+            w = jnp.asarray((rng.rand(3, 3, 3, C, C) * .01
+                             ).astype(np.float32)).astype(dd)
+            f = jax.jit(lambda x, w: jax.lax.conv_general_dilated(
+                x, w, (1, 1, 1), "SAME",
+                dimension_numbers=("NXYZC", "XYZIO", "NXYZC"),
+                preferred_element_type=jnp.float32))
+            t = timeit(f, x, w)
+            results[f"conv3d_nxyzc_{dt_}_c{C}"] = (
+                t, f"{flops27 * C * C / t / 1e12:.1f} TFLOP/s")
+        # channels-FIRST: minor dim is Z (96 -> 128 pad) instead of C
+        for C in (32,):
+            x = jnp.asarray(rng.rand(1, C, X, Y, Z).astype(np.float32)
+                            ).astype(jnp.bfloat16)
+            w = jnp.asarray((rng.rand(3, 3, 3, C, C) * .01
+                             ).astype(np.float32)).astype(jnp.bfloat16)
+            f = jax.jit(lambda x, w: jax.lax.conv_general_dilated(
+                x, w, (1, 1, 1), "SAME",
+                dimension_numbers=("NCXYZ", "XYZIO", "NCXYZ"),
+                preferred_element_type=jnp.float32))
+            t = timeit(f, x, w)
+            results[f"conv3d_ncxyz_bf16_c{C}"] = (
+                t, f"{flops27 * C * C / t / 1e12:.1f} TFLOP/s")
+        # im2col-free matmul equivalent: fold (X,Y,Z) to rows, shift-sum
+        # 27 [M,C]@[C,C] matmuls (what ops/sparse.py does for sparse) as
+        # a dense-roofline reference point
+        C = 32
+        x = jnp.asarray(rng.rand(X * Y * Z, C).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        w = jnp.asarray((rng.rand(27, C, C) * .01).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+
+        def shiftsum(x, w):
+            def body(acc, wk):
+                return acc + jnp.dot(x, wk,
+                                     preferred_element_type=jnp.float32), None
+            acc, _ = jax.lax.scan(
+                body, jnp.zeros((x.shape[0], C), jnp.float32), w)
+            return acc
+        t = timeit(jax.jit(shiftsum), x, w)
+        results["conv3d_27matmul_bf16_c32"] = (
+            t, f"{flops27 * C * C / t / 1e12:.1f} TFLOP/s (no shifts)")
+
     if "matmul" in names:
         a = jnp.asarray(rng.rand(8192, 8192).astype(np.float32))
         f = jax.jit(lambda a: a @ a)
