@@ -35,6 +35,11 @@ def main():
     from bench import build_bench
     from cnrma_tpu.utils.profiling import StageTimer, force_ready
 
+    # sitecustomize pins jax_platforms via jax.config (wins over the env
+    # var) — re-apply the env so JAX_PLATFORMS=cpu smoke runs work
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     model, batch = build_bench(args.scale)
     print(f"devices: {jax.devices()}", flush=True)
 
@@ -130,6 +135,43 @@ def main():
     print(timer.summary())
     total = sum(timer.totals.values()) / max(args.iters, 1)
     print(f"detect total: {total * 1000:.1f} ms")
+
+    # isolated kernel-map builds at this scale's coordinate-set sizes —
+    # the searchsorted (or LUT) cost hidden inside backbone/neck above
+    st = stages["1_voxelize"](xyz, feats, valid)
+    st0 = jax.tree_util.tree_map(lambda x: x[0], st)
+    offs = sp.kernel_offsets(3)
+    km1 = jax.jit(lambda s: sp.kernel_map(s, offs))
+    t = _time_one(km1, st0)
+    print(f"kmap stride1 27x{st0.capacity}: {t * 1000:.1f} ms "
+          f"(LUT budget {sp.LUT_CELL_BUDGET})", flush=True)
+    # synthetic stride-8 tensor at the neck's stride-8 capacity
+    cap8 = detector.capacities.neck[0]
+    rng8 = np.random.RandomState(1)
+    c8 = np.unique((rng8.randint(0, 120, (cap8, 3)) * 8), axis=0)
+    k8 = np.asarray(sp.VoxelGrid().pack(jnp.asarray(c8)))
+    order = np.argsort(k8)
+    pad = cap8 - len(c8)
+    keys8 = jnp.asarray(np.concatenate(
+        [k8[order], np.full(pad, np.iinfo(np.int32).max, np.int32)]))
+    coords8 = jnp.asarray(np.concatenate(
+        [c8[order], np.zeros((pad, 3), np.int32)]))
+    st8 = sp.SparseTensor(keys=keys8, coords=coords8,
+                          feats=jnp.zeros((cap8, 1), jnp.float32),
+                          stride=8)
+    t = _time_one(km1, st8)
+    print(f"kmap stride8 27x{cap8}: {t * 1000:.1f} ms", flush=True)
+
+
+def _time_one(fn, *args, iters=3):
+    from cnrma_tpu.utils.profiling import force_ready
+    r = fn(*args)
+    force_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(*args)
+    force_ready(r)
+    return (time.perf_counter() - t0) / iters
 
 
 if __name__ == "__main__":
