@@ -248,21 +248,30 @@ class FCAF3DHeadNet(nn.Module):
         prune_scores_st = None
         for i in range(n_levels - 1, -1, -1):
             if i < n_levels - 1:
+                parent = x
                 parent_keys = x.keys
                 parent_valid = x.valid
                 child_kmap = batch_map(sp.derive_child_kmap, kmap27)
                 x = SparseUpBlock(self.in_channels[i],
                                   name=f"up_block_{i + 1}")(
                     x, train, child_kmap=child_kmap)
-                x = batch_map(sp.add_skip_into_children,
-                              x, inputs[i], parent_keys)
+                x = batch_map(
+                    lambda c, s, pk, p: sp.add_skip_into_children(
+                        c, s, pk, parent=p),
+                    x, inputs[i], parent_keys, parent)
                 scores = jax.lax.stop_gradient(batch_map(
                     sp.interpolate_children_scores,
                     prune_scores_st.feats[..., 0], kmap27, parent_valid))
                 keep = min(self.capacities.neck[i], self.pts_threshold) \
                     if self.pts_threshold > 0 else self.capacities.neck[i]
-                x = batch_map(lambda s, sc: sp.prune_topk(s, sc, keep),
-                              x, scores)
+                # full-LUT decoder: when this level's child-stride lattice
+                # fits the LUT budget, every downstream lookup is
+                # coordinate-LUT-based, so the prune re-sort (a keep-sized
+                # sort with a wide feature payload) can be skipped
+                resort = not sp.lut_eligible(x.grid, x.stride)
+                x = batch_map(
+                    lambda s, sc: sp.prune_topk(s, sc, keep, sort=resort),
+                    x, scores)
                 kmap27 = batch_map(lambda s: sp.kernel_map(s, offsets27), x)
             out = SparseConv(self.out_channels, 3, 1, norm="BN", act=elu,
                              name=f"out_block_{i}")(x, train, kmap=kmap27)

@@ -44,6 +44,19 @@ from cnrma_tpu.ops.voxelize import (
 LUT_CELL_BUDGET = int(os.environ.get("CNRMA_SPARSE_LUT_BUDGET", "0"))
 
 
+def lut_eligible(grid: VoxelGrid, stride: int) -> bool:
+    """True when lookups over this stride lattice take the LUT path.
+
+    LUT lookups are scatter+gather on coordinates and do NOT require the
+    key array to be sorted — code paths that skip re-sorts (e.g. the
+    decoder's ``prune_topk(sort=False)``) must gate on this exact
+    predicate, because the sort-based fallback would silently search an
+    unsorted array.
+    """
+    return bool(LUT_CELL_BUDGET
+                and lattice_cells(grid, stride) <= LUT_CELL_BUDGET)
+
+
 @struct.dataclass
 class SparseTensor:
     """Per-scene sparse voxel tensor with fixed capacity.
@@ -158,8 +171,7 @@ def kernel_map(st: SparseTensor, offsets: np.ndarray,
     # LUT path: every coord in a kernel map is a multiple of st.stride
     # (SparseTensor invariant + offsets scaled by stride), the
     # lookup_lut exactness contract
-    if (LUT_CELL_BUDGET
-            and lattice_cells(st.grid, st.stride) <= LUT_CELL_BUDGET
+    if (lut_eligible(st.grid, st.stride)
             and all(int(o) % st.stride == 0
                     for o in np.asarray(offs).reshape(-1))):
         idx, found = lookup_lut(st.keys, st.coords, st.grid, st.stride,
@@ -243,8 +255,7 @@ def downsample_coords(st: SparseTensor, factor: int, capacity: int
     """
     new_stride = st.stride * factor
     q = (st.coords // new_stride) * new_stride
-    if (LUT_CELL_BUDGET
-            and lattice_cells(st.grid, new_stride) <= LUT_CELL_BUDGET):
+    if lut_eligible(st.grid, new_stride):
         cells = lattice_cells(st.grid, new_stride)
         cell = lattice_index(st.grid, new_stride, q, st.valid)    # [N]
         occ = jnp.zeros((cells + 1,), jnp.int32).at[cell].set(
@@ -419,19 +430,29 @@ def derive_child_kmap(kmap27: Tuple[jnp.ndarray, jnp.ndarray]
 
 
 def add_skip_into_children(children: SparseTensor, skip: SparseTensor,
-                           parent_keys: jnp.ndarray) -> SparseTensor:
+                           parent_keys: jnp.ndarray,
+                           parent: Optional[SparseTensor] = None
+                           ) -> SparseTensor:
     """children += skip, matching by coordinate via PARENT lookup only.
 
     ``children`` is the (possibly unsorted, p-major) output of a
     generative transpose over parents with sorted ``parent_keys``; a skip
     row at coordinate c lands in child slot parent_index(c//s·s)*8 +
     o_index(c) — N searches instead of 8N.
+
+    Passing ``parent`` (the tensor behind ``parent_keys``) enables the
+    LUT path when its stride lattice fits the budget — which also lifts
+    the sorted requirement on ``parent_keys`` (full-LUT decoder mode).
     """
     s = skip.stride * 2
     half = skip.stride
     pc = (skip.coords // s) * s
-    pkeys = jnp.where(skip.valid, skip.grid.pack(pc), SENTINEL_KEY)
-    p_idx, found = lookup(parent_keys, pkeys)
+    if parent is not None and lut_eligible(skip.grid, s):
+        p_idx, found = lookup_lut(parent.keys, parent.coords, parent.grid,
+                                  s, pc, skip.valid)
+    else:
+        pkeys = jnp.where(skip.valid, skip.grid.pack(pc), SENTINEL_KEY)
+        p_idx, found = lookup(parent_keys, pkeys)
     o = (skip.coords - pc) // half                        # [N,3] in {0,1}
     o_idx = o[:, 0] + 2 * o[:, 1] + 4 * o[:, 2]           # x fastest
     slot = jnp.where(found, p_idx * 8 + o_idx, children.capacity)
@@ -488,18 +509,27 @@ def add_into(target: SparseTensor, source: SparseTensor) -> SparseTensor:
     return target.with_feats(feats)
 
 
-def prune_topk(st: SparseTensor, scores: jnp.ndarray, keep: int
-               ) -> SparseTensor:
+def prune_topk(st: SparseTensor, scores: jnp.ndarray, keep: int,
+               sort: bool = True) -> SparseTensor:
     """Keep the `keep` highest-scoring valid rows (ME MinkowskiPruning +
-    per-scene topk, ``fcaf3d_head.py:123-139``), re-sorted by key."""
+    per-scene topk, ``fcaf3d_head.py:123-139``), re-sorted by key.
+
+    ``sort=False`` skips the re-sort (rows stay in score order) — the
+    same row multiset, valid ONLY when every downstream lookup takes the
+    coordinate-LUT path (``lut_eligible``); the sort-based ``lookup``
+    would silently mis-search unsorted keys.
+    """
     neg = jnp.finfo(jnp.float32).min
     s = jnp.where(st.valid, scores.astype(jnp.float32), neg)
     _, top_idx = jax.lax.top_k(s, keep)
     keys = jnp.take(st.keys, top_idx)
     # rows that were invalid (score == -inf) stay invalid
     keys = jnp.where(jnp.take(st.valid, top_idx), keys, SENTINEL_KEY)
-    coords = jnp.take(st.coords, top_idx, axis=0)
     feats = jnp.take(st.feats, top_idx, axis=0)
+    if not sort:
+        return SparseTensor(keys=keys, coords=st.grid.unpack(keys),
+                            feats=feats, stride=st.stride, grid=st.grid)
+    coords = jnp.take(st.coords, top_idx, axis=0)
     keys_sorted, coords_s, feats_s = sort_by_key(keys, coords, feats)
     coords_s = st.grid.unpack(keys_sorted)
     return SparseTensor(keys=keys_sorted, coords=coords_s, feats=feats_s,

@@ -399,6 +399,80 @@ class TestChildDerivation:
         np.testing.assert_allclose(np.asarray(old.feats),
                                    np.asarray(new.feats), atol=1e-5)
 
+    def test_full_lut_no_sort_matches_sorted(self, monkeypatch):
+        """Full-LUT decoder mode: LUT lookups + prune_topk(sort=False)
+        must yield the same row MULTISET as the sorted searchsorted
+        path (rows come back in score order instead of key order)."""
+        import cnrma_tpu.ops.sparse as sparse_mod
+        from cnrma_tpu.ops.sparse import (
+            add_skip_into_children, derive_child_kmap,
+            interpolate_children_scores)
+        # a small grid so every stride's lattice fits a CPU-sized LUT
+        grid = VoxelGrid(bounds=(32, 32, 16), shifts=(0, 0, 0))
+
+        def mk(coords, feats, capacity, stride):
+            coords = np.asarray(coords, np.int32)
+            feats = np.asarray(feats, np.float32)
+            keys = grid.pack(jnp.asarray(coords))
+            pad = capacity - len(coords)
+            keys = jnp.concatenate(
+                [keys, jnp.full((pad,), SENTINEL_KEY, jnp.int32)])
+            cs = jnp.asarray(np.concatenate(
+                [coords, np.zeros((pad, 3), np.int32)]))
+            fs = jnp.asarray(np.concatenate(
+                [feats, np.zeros((pad, feats.shape[1]), np.float32)]))
+            ks, cs, fs = sort_by_key(keys, cs, fs)
+            return SparseTensor(keys=ks, coords=cs, feats=fs,
+                                stride=stride, grid=grid)
+
+        rng = np.random.RandomState(9)
+        all_coords = np.array([(x, y, z) for x in range(0, 12, 2)
+                               for y in range(0, 12, 2)
+                               for z in range(0, 8, 2)])
+        pick = rng.choice(len(all_coords), 40, replace=False)
+        pcoords = all_coords[pick]
+        c_in, c_out = 6, 5
+        st = mk(pcoords, rng.rand(40, c_in), 48, 2)
+        w_up = jnp.asarray(rng.rand(8, c_in, c_out).astype(np.float32))
+        w_conv = jnp.asarray(
+            rng.rand(27, c_out, c_out).astype(np.float32) * 0.2)
+        sk_coords = np.unique(np.asarray(
+            [p + rng.randint(0, 2, 3) for p in pcoords[:15]]), axis=0)
+        skip = mk(sk_coords, rng.rand(len(sk_coords), c_out), 24, 1)
+        scores = jnp.asarray(rng.rand(48).astype(np.float32) * 10)
+        keep = 64
+
+        def run():
+            kmap27 = kernel_map(st, kernel_offsets(3))
+            y = generative_transpose_conv(st, w_up, sort=False)
+            y = y.with_feats(apply_sparse_conv(
+                y.feats, w_conv, *derive_child_kmap(kmap27)))
+            y = add_skip_into_children(y, skip, st.keys, parent=st)
+            sc = interpolate_children_scores(scores, kmap27, st.valid)
+            resort = not sparse_mod.lut_eligible(grid, y.stride)
+            return prune_topk(y, sc, keep, sort=resort), resort
+
+        ref, resort0 = run()
+        assert resort0          # budget off -> sorted path
+        monkeypatch.setattr(sparse_mod, "LUT_CELL_BUDGET", 1 << 20)
+        got, resort1 = run()
+        assert not resort1      # budget on -> sort skipped
+        # same multiset of (key, feats) rows
+        rk, gk = np.asarray(ref.keys), np.asarray(got.keys)
+        order = np.argsort(gk)
+        np.testing.assert_array_equal(rk, gk[order])
+        np.testing.assert_allclose(np.asarray(ref.feats),
+                                   np.asarray(got.feats)[order],
+                                   atol=1e-5)
+        # and a follow-up kernel map over the UNSORTED tensor is usable:
+        # conv results match the sorted reference row-for-row
+        out_ref = apply_sparse_conv(
+            ref.feats, w_conv, *kernel_map(ref, kernel_offsets(3)))
+        out_got = apply_sparse_conv(
+            got.feats, w_conv, *kernel_map(got, kernel_offsets(3)))
+        np.testing.assert_allclose(np.asarray(out_ref),
+                                   np.asarray(out_got)[order], atol=1e-5)
+
     def test_fast_path_over_capacity_ranking(self):
         (st, skip, w_up, w_conv, scores, derive_child_kmap,
          add_skip_into_children, interpolate_children_scores) = \
