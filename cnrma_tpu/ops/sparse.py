@@ -44,6 +44,14 @@ from cnrma_tpu.ops.voxelize import (
 LUT_CELL_BUDGET = int(os.environ.get("CNRMA_SPARSE_LUT_BUDGET", "0"))
 
 
+# Derive strided-op kernel maps from the downsample's parent relation
+# instead of searching: max_pool needs NO searches (each input serves
+# exactly one (offset, output) pair), and a k3-s2 strided conv needs only
+# an 8-offset neighbor map over the OUTPUT set (vs 27 query offsets over
+# the input set).  0 disables.  Baked into traced programs at trace time.
+DERIVED_KMAPS = int(os.environ.get("CNRMA_DERIVED_KMAPS", "0"))
+
+
 def lut_eligible(grid: VoxelGrid, stride: int) -> bool:
     """True when lookups over this stride lattice take the LUT path.
 
@@ -237,14 +245,17 @@ def subm_conv(st: SparseTensor, weights: jnp.ndarray,
     return st.with_feats(out)
 
 
-def downsample_coords(st: SparseTensor, factor: int, capacity: int
+def downsample_coords(st: SparseTensor, factor: int, capacity: int,
+                      align_orig: bool = False
                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Output coordinate set of a strided op: unique(floor(c / s´) * s´).
 
     Returns (keys [capacity] sorted, coords [capacity,3], run_id [N]).
-    run_id maps rows to output slots (capacity = dropped); its row
-    alignment is path-dependent (sorted order on the sort path, original
-    order on the LUT path) — no caller consumes it today.
+    run_id maps rows to output slots (capacity = dropped); by default its
+    row alignment is path-dependent (sorted order on the sort path,
+    original order on the LUT path); ``align_orig=True`` guarantees
+    original-row alignment on both paths (one extra scatter on the sort
+    path) — required by the derived kernel maps.
 
     When the output stride's lattice fits ``LUT_CELL_BUDGET`` the dedup
     is sort-free: scatter an occupancy flag per input row, rank occupied
@@ -269,9 +280,106 @@ def downsample_coords(st: SparseTensor, factor: int, capacity: int
                             ).at[slot].set(qkeys, mode="drop")
         return out_keys, st.grid.unpack(out_keys), slot
     qkeys = jnp.where(st.valid, st.grid.pack(q), SENTINEL_KEY)
+    if align_orig:
+        n = qkeys.shape[0]
+        keys_sorted, perm = sort_by_key(qkeys,
+                                        jnp.arange(n, dtype=jnp.int32))
+        out_keys, run_id, _ = unique_sorted(keys_sorted, capacity)
+        run_orig = jnp.full((n,), capacity, jnp.int32).at[perm].set(
+            run_id.astype(jnp.int32), mode="drop")
+        return out_keys, st.grid.unpack(out_keys), run_orig
     keys_sorted, = sort_by_key(qkeys)
     out_keys, run_id, _ = unique_sorted(keys_sorted, capacity)
     return out_keys, st.grid.unpack(out_keys), run_id
+
+
+def _derived_pool_kmap(st: SparseTensor, factor: int, capacity: int):
+    """Search-free kernel map of a k=f, s=f pooling op.
+
+    Each input voxel serves exactly one (offset, output) pair: offset =
+    its within-cell position, output = its parent's slot — so the whole
+    map is the downsample relation plus one scatter.
+    """
+    out_keys, out_coords, slot = downsample_coords(st, factor, capacity,
+                                                   align_orig=True)
+    f = factor
+    o = (st.coords // st.stride) % f                 # [N,3] in 0..f-1
+    k_idx = (o[:, 2] * f + o[:, 1]) * f + o[:, 0]    # x fastest
+    n, m = st.capacity, capacity
+    ok = st.valid & (slot < m)
+    flat = jnp.where(ok, k_idx * m + slot, f ** 3 * m)
+    idx = jnp.zeros((f ** 3 * m + 1,), jnp.int32).at[flat].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    fnd = jnp.zeros((f ** 3 * m + 1,), bool).at[flat].set(ok, mode="drop")
+    return (out_keys, out_coords, idx[:f ** 3 * m].reshape(f ** 3, m),
+            fnd[:f ** 3 * m].reshape(f ** 3, m))
+
+
+def _stem_k_table() -> np.ndarray:
+    """Static [8 parities, 8 parent-neighbors] -> conv-offset row (or -1).
+
+    An input voxel with within-cell parity ``o`` answers a k3-s2 query
+    (out, d) iff d == o - 2e for some e in {0,1}^3 with e <= o, and then
+    out = parent + e·new_stride; the table maps (o, e) to the
+    ``kernel_offsets(3)`` row of that d.
+    """
+    conv_offs = kernel_offsets(3).tolist()
+    off_index = {tuple(v): i for i, v in enumerate(conv_offs)}
+    T = -np.ones((8, 8), np.int32)
+    for oi in range(8):
+        o = np.array([oi & 1, (oi >> 1) & 1, (oi >> 2) & 1])
+        for ei in range(8):
+            e = np.array([ei & 1, (ei >> 1) & 1, (ei >> 2) & 1])
+            if np.any(e > o):
+                continue
+            d = o - 2 * e
+            T[oi, ei] = off_index[tuple(int(v) for v in d)]
+    return T
+
+
+_STEM_K_TABLE = _stem_k_table()
+
+
+def _derived_strided3_kmap(st: SparseTensor, capacity: int):
+    """k3-s2 strided-conv kernel map from the parent relation.
+
+    Replaces the 27-offset search over the INPUT set with an 8-offset
+    neighbor map over the (4x smaller) OUTPUT set plus 8 scatters: input
+    c with parity o serves query (parent+e·s', o-2e) for every e <= o.
+
+    Exact whenever the output capacity holds every occupied parent cell.
+    Under capacity OVERFLOW (already a lossy regime — whole output cells
+    are dropped) this path additionally loses a dropped-parent input's
+    contributions to kept neighboring outputs, which the searchsorted
+    construction would find; size capacities to avoid overflow.
+    """
+    out_keys, out_coords, slot = downsample_coords(st, 2, capacity,
+                                                   align_orig=True)
+    stub = SparseTensor(keys=out_keys, coords=out_coords,
+                        feats=jnp.zeros((capacity, 1), jnp.float32),
+                        stride=st.stride * 2, grid=st.grid)
+    nbr_offs = np.array([(x, y, z) for z in (0, 1) for y in (0, 1)
+                         for x in (0, 1)], np.int32)
+    nbr_idx, nbr_fnd = kernel_map(stub, nbr_offs)            # [8, M]
+    o = (st.coords // st.stride) % 2
+    o_idx = o[:, 0] + 2 * o[:, 1] + 4 * o[:, 2]
+    T = jnp.asarray(_STEM_K_TABLE)
+    n, m = st.capacity, capacity
+    ok0 = st.valid & (slot < m)
+    slot_c = jnp.where(ok0, slot, 0)
+    rows = jnp.arange(n, dtype=jnp.int32)
+    idx_buf = jnp.zeros((27 * m + 1,), jnp.int32)
+    fnd_buf = jnp.zeros((27 * m + 1,), bool)
+    for ei in range(8):                       # static: 8 tiny scatters
+        k = jnp.take(T[:, ei], o_idx)                        # [N]
+        tgt = jnp.take(nbr_idx[ei], slot_c)
+        tf = jnp.take(nbr_fnd[ei], slot_c)
+        ok = ok0 & (k >= 0) & tf
+        flat = jnp.where(ok, k * m + tgt, 27 * m)
+        idx_buf = idx_buf.at[flat].set(rows, mode="drop")
+        fnd_buf = fnd_buf.at[flat].set(ok, mode="drop")
+    return (out_keys, out_coords, idx_buf[:27 * m].reshape(27, m),
+            fnd_buf[:27 * m].reshape(27, m))
 
 
 def strided_conv(st: SparseTensor, weights: jnp.ndarray, factor: int,
@@ -282,9 +390,15 @@ def strided_conv(st: SparseTensor, weights: jnp.ndarray, factor: int,
     if offsets is None:
         ks = round(len(weights) ** (1 / 3))
         offsets = kernel_offsets(ks)
-    out_keys, out_coords, _ = downsample_coords(st, factor, capacity)
-    idx, found = kernel_map(st, offsets, query_coords=out_coords,
-                            query_keys=out_keys, offset_stride=st.stride)
+    if (DERIVED_KMAPS and factor == 2
+            and np.array_equal(offsets, kernel_offsets(3))):
+        out_keys, out_coords, idx, found = _derived_strided3_kmap(
+            st, capacity)
+    else:
+        out_keys, out_coords, _ = downsample_coords(st, factor, capacity)
+        idx, found = kernel_map(st, offsets, query_coords=out_coords,
+                                query_keys=out_keys,
+                                offset_stride=st.stride)
     out = apply_sparse_conv(st.feats, weights, idx, found)
     return SparseTensor(keys=out_keys, coords=out_coords, feats=out,
                         stride=st.stride * factor, grid=st.grid)
@@ -292,12 +406,17 @@ def strided_conv(st: SparseTensor, weights: jnp.ndarray, factor: int,
 
 def max_pool(st: SparseTensor, factor: int, capacity: int) -> SparseTensor:
     """Max pooling (kernel = stride = factor), offsets {0..factor-1}^3."""
-    r = range(factor)
-    offsets = np.array([(x, y, z) for z in r for y in r for x in r],
-                       np.int32)
-    out_keys, out_coords, _ = downsample_coords(st, factor, capacity)
-    idx, found = kernel_map(st, offsets, query_coords=out_coords,
-                            query_keys=out_keys, offset_stride=st.stride)
+    if DERIVED_KMAPS:
+        out_keys, out_coords, idx, found = _derived_pool_kmap(
+            st, factor, capacity)
+    else:
+        r = range(factor)
+        offsets = np.array([(x, y, z) for z in r for y in r for x in r],
+                           np.int32)
+        out_keys, out_coords, _ = downsample_coords(st, factor, capacity)
+        idx, found = kernel_map(st, offsets, query_coords=out_coords,
+                                query_keys=out_keys,
+                                offset_stride=st.stride)
     neg = jnp.finfo(st.feats.dtype).min
     feats = st.feats
 

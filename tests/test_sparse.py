@@ -226,6 +226,43 @@ class TestLutKernelMap:
             np.testing.assert_array_equal(np.asarray(k0), np.asarray(k1))
             np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
 
+    @pytest.mark.parametrize("stride,lut", [(1, 0), (4, 0),
+                                            (4, 1 << 28)])
+    def test_derived_strided_kmaps_identical(self, monkeypatch, stride,
+                                             lut):
+        """CNRMA_DERIVED_KMAPS strided-conv and max-pool outputs must be
+        bit-identical to the searchsorted construction, with and without
+        the LUT path underneath."""
+        import cnrma_tpu.ops.sparse as sparse_mod
+        rng = np.random.RandomState(17 + stride)
+        st = self._random_st(rng, stride, n=96, cap=128)
+        w = rng.randn(27, 4, 3).astype(np.float32) * 0.1
+        # conv: exact at ample capacity (under overflow the derived path
+        # documents extra loss of dropped-parent cross-cell inputs);
+        # pool: exact at ANY capacity (inputs only serve their own parent)
+        for cap, check_conv in ((128, True), (7, False)):
+            ref_conv = strided_conv(st, jnp.asarray(w), 2, cap)
+            ref_pool = max_pool(st, 2, cap)
+            monkeypatch.setattr(sparse_mod, "DERIVED_KMAPS", 1)
+            monkeypatch.setattr(sparse_mod, "LUT_CELL_BUDGET", lut)
+            got_conv = strided_conv(st, jnp.asarray(w), 2, cap)
+            got_pool = max_pool(st, 2, cap)
+            monkeypatch.setattr(sparse_mod, "DERIVED_KMAPS", 0)
+            monkeypatch.setattr(sparse_mod, "LUT_CELL_BUDGET", 0)
+            pairs = [(ref_pool, got_pool)]
+            if check_conv:
+                pairs.append((ref_conv, got_conv))
+            else:   # coordinate sets still agree under overflow
+                np.testing.assert_array_equal(np.asarray(ref_conv.keys),
+                                              np.asarray(got_conv.keys))
+            for ref, got in pairs:
+                np.testing.assert_array_equal(np.asarray(ref.keys),
+                                              np.asarray(got.keys))
+                np.testing.assert_allclose(np.asarray(ref.feats),
+                                           np.asarray(got.feats),
+                                           atol=1e-5, err_msg=str(
+                                               (stride, lut, cap)))
+
     def test_budget_respects_lattice_size(self, monkeypatch):
         # stride-1 lattice (2.1G cells) must NOT take the LUT path even
         # with a large-but-smaller budget
