@@ -20,10 +20,19 @@ predicted TSDF, then compacts above-threshold samples with ``torch.nonzero``
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+
+# Per-ray pre-selection method: 'topk' ranks samples by weight with
+# lax.top_k; 'onehot' compacts the kept set with a cumsum + one-hot
+# multiply-reduce (pure VPU, no sort).  EXACT either way: NeuS weights
+# along a ray sum to <= 1, so at most floor(1/threshold) samples can
+# clear the threshold and both methods keep the complete kept set (only
+# the within-ray order differs).  Baked in at trace time.
+RAY_COMPACT = os.environ.get("CNRMA_RAY_COMPACT", "topk")
 
 
 class RayMarchPoints(NamedTuple):
@@ -262,14 +271,27 @@ def ray_march_neus(projection: jnp.ndarray,
                 & has_hit[:, None])
         w = jnp.where(keep, w, 0.0)
 
-    # Per-ray top-K pre-selection — EXACT: NeuS weights along a ray sum to
+    # Per-ray pre-selection — EXACT: NeuS weights along a ray sum to
     # 1 - prod(1-alpha) <= 1, so at most floor(1/threshold) samples can be
-    # >= threshold; the top-K by weight therefore contains every kept
+    # >= threshold; a K-slot per-ray buffer therefore holds every kept
     # sample.  This shrinks the compaction input from HW*n_samples (5.76M)
     # to HW*K (384k), which dominates the op's cost on TPU.
     k_max = min(window, max(1, math.ceil(1.0 / weight_threshold)))
-    wk, sk = jax.lax.top_k(w, k_max)                     # [HW, K]
-    keep_k = wk >= weight_threshold                      # w==0 elsewhere
+    if RAY_COMPACT == "onehot":
+        # sort-free: cumsum positions + one-hot multiply-reduce (VPU)
+        keep_w = w >= weight_threshold                   # [HW, window]
+        pos = jnp.cumsum(keep_w.astype(jnp.int32), axis=1) - 1
+        pos = jnp.where(keep_w & (pos < k_max), pos, k_max)
+        oh = (jax.lax.broadcasted_iota(
+            jnp.int32, (HW, window, k_max), 2) == pos[:, :, None])
+        wk = jnp.sum(jnp.where(oh, w[:, :, None], 0.0), axis=1)
+        smp_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (HW, window, k_max), 1)
+        sk = jnp.sum(jnp.where(oh, smp_iota, 0), axis=1)
+        keep_k = wk >= weight_threshold
+    else:
+        wk, sk = jax.lax.top_k(w, k_max)                 # [HW, K]
+        keep_k = wk >= weight_threshold                  # w==0 elsewhere
     ray_id = jax.lax.broadcasted_iota(jnp.int32, (HW, k_max), 0)
     flat_k = ray_id * window + sk                        # window-local
 

@@ -387,6 +387,35 @@ class TestRayMarching:
         assert occ2[:, :, 3].all() and occ2[:, :, 4].all()
         assert not occ2[:, :, :2].any() and not occ2[:, :, 6:].any()
 
+    def test_onehot_compaction_matches_topk(self, monkeypatch):
+        """CNRMA_RAY_COMPACT='onehot' must keep the identical point
+        multiset as the top_k path (both hold the complete kept set —
+        NeuS weights bound it to floor(1/threshold) per ray)."""
+        import cnrma_tpu.ops.ray_marching as rm
+        n, vs = 32, 0.0625
+        z = np.arange(n) * vs
+        tsdf = np.broadcast_to(
+            np.clip((z - 1.0) / (3 * vs), -1, 1)[None, None, :],
+            (n, n, n)).copy().astype(np.float32)
+        kw = dict(voxel_dim=(n, n, n), voxel_size=vs,
+                  origin=jnp.array([-1.0, -0.75, 0.0]),
+                  height=12, width=16, view_index=0, n_samples=96,
+                  weight_threshold=0.05, capacity=4096)
+        proj = jnp.asarray(simple_projection())
+        a = ray_march_neus(proj, jnp.asarray(tsdf), **kw)
+        monkeypatch.setattr(rm, "RAY_COMPACT", "onehot")
+        b = ray_march_neus(proj, jnp.asarray(tsdf), **kw)
+
+        def key(pts):
+            w = np.asarray(pts.weight)
+            rows = np.concatenate(
+                [np.round(np.asarray(pts.xyz)[w > 0], 4),
+                 np.round(w[w > 0, None], 6)], axis=1)
+            return np.array(sorted(map(tuple, rows)))
+        ka, kb = key(a), key(b)
+        assert len(ka) > 50
+        np.testing.assert_allclose(ka, kb, atol=1e-4)
+
     @pytest.mark.parametrize("coarse_step", [4, 8])
     def test_ray_march_neus_skip_matches_dense(self, coarse_step):
         """Empty-space skipping must keep the dense march's point set on a
