@@ -274,3 +274,58 @@ class TestFCAF3DDetector:
         leaves = jax.tree_util.tree_leaves(g)
         assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
         assert any(np.abs(np.asarray(x)).sum() > 0 for x in leaves)
+
+
+class TestBuildVolumeKnobGating:
+    """bp_rect / bp_tile wiring: the model must pass the rect kwargs only
+    when the tile gate engages (>= 4096 tiles), with capacities derived
+    from bp_rect_frac / bp_overflow_frac."""
+
+    def _capture(self, model):
+        import cnrma_tpu.models.cn_rma as m
+        captured = {}
+        orig = m.accumulate_views
+
+        def spy(p, f, v, dim, vs, origin, **kw):
+            captured.update(kw)
+            return orig(p, f, v, dim, vs, origin, **kw)
+
+        return captured, spy
+
+    def _run(self, monkeypatch, voxel_dim, **model_kw):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        import cnrma_tpu.models.cn_rma as m
+        from cnrma_tpu.models.cn_rma import CNRMA
+        model = CNRMA(voxel_dim=voxel_dim, voxel_size=0.04,
+                      detection=False, **model_kw)
+        captured, spy = self._capture(model)
+        monkeypatch.setattr(m, "accumulate_views", spy)
+        v, h, w = 1, 32, 32
+        feats = jnp.zeros((1, v, h // 4, w // 4, 32), jnp.float32)
+        proj = jnp.asarray(
+            np.broadcast_to(np.eye(3, 4, dtype=np.float32), (1, v, 3, 4)))
+        valid = jnp.ones((1, v), bool)
+        jax.eval_shape(lambda: model.build_volume(feats, proj, valid))
+        return captured
+
+    def test_rect_on_when_tile_gate_engages(self, monkeypatch):
+        cap = self._run(monkeypatch, (256, 256, 96),
+                        bp_rect_h=24, bp_rect_w=32, bp_rect_frac=0.5,
+                        bp_overflow_frac=0.05)
+        n_tiles = (256 // 8) * (256 // 8) * (96 // 8)
+        assert cap["tile"] == 8
+        assert cap["rect"] == (24, 32)
+        assert cap["rect_capacity"] == round(0.5 * n_tiles)
+        assert cap["tile_capacity"] == round(0.05 * n_tiles)
+
+    def test_rect_off_on_small_grids(self, monkeypatch):
+        cap = self._run(monkeypatch, (16, 16, 8),
+                        bp_rect_h=24, bp_rect_w=32)
+        assert cap["tile"] == 0 and cap["rect"] == (0, 0)
+
+    def test_rect_off_by_default(self, monkeypatch):
+        cap = self._run(monkeypatch, (256, 256, 96))
+        assert cap["rect"] == (0, 0)
+        assert cap["tile"] == 8
