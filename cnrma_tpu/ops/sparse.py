@@ -394,6 +394,20 @@ def strided_conv(st: SparseTensor, weights: jnp.ndarray, factor: int,
             and np.array_equal(offsets, kernel_offsets(3))):
         out_keys, out_coords, idx, found = _derived_strided3_kmap(
             st, capacity)
+    elif (DERIVED_KMAPS and factor == 2 and len(offsets) == 1
+            and not np.any(offsets)):
+        # k1 s2 (the residual-path 1x1 downsample): input c answers query
+        # (out, 0) iff c == out, i.e. within-cell parity 0 — pure scatter
+        out_keys, out_coords, slot = downsample_coords(
+            st, 2, capacity, align_orig=True)
+        o = (st.coords // st.stride) % 2
+        ok = st.valid & (slot < capacity) & jnp.all(o == 0, axis=1)
+        flat = jnp.where(ok, slot, capacity)
+        n = st.capacity
+        idx = jnp.zeros((capacity + 1,), jnp.int32).at[flat].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")[None, :capacity]
+        found = jnp.zeros((capacity + 1,), bool).at[flat].set(
+            ok, mode="drop")[None, :capacity]
     else:
         out_keys, out_coords, _ = downsample_coords(st, factor, capacity)
         idx, found = kernel_map(st, offsets, query_coords=out_coords,

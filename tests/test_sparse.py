@@ -249,7 +249,12 @@ class TestLutKernelMap:
             got_pool = max_pool(st, 2, cap)
             monkeypatch.setattr(sparse_mod, "DERIVED_KMAPS", 0)
             monkeypatch.setattr(sparse_mod, "LUT_CELL_BUDGET", 0)
-            pairs = [(ref_pool, got_pool)]
+            w1 = rng.randn(1, 4, 3).astype(np.float32) * 0.1
+            ref_c1 = strided_conv(st, jnp.asarray(w1), 2, cap)
+            monkeypatch.setattr(sparse_mod, "DERIVED_KMAPS", 1)
+            got_c1 = strided_conv(st, jnp.asarray(w1), 2, cap)
+            monkeypatch.setattr(sparse_mod, "DERIVED_KMAPS", 0)
+            pairs = [(ref_pool, got_pool), (ref_c1, got_c1)]
             if check_conv:
                 pairs.append((ref_conv, got_conv))
             else:   # coordinate sets still agree under overflow
