@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Run the full-scale per-stage profile across the perf-knob matrix.
+
+Each experiment is one subprocess running ``tools/profile_stages.py`` with
+a single knob flipped (plus a combined candidate-default run), so wins are
+attributable.  All knobs are output-exact by test (see
+``doc/performance.md`` "Knobs"); this script only measures speed.
+
+Usage:
+    python tools/knob_ab.py [--scale full] [--only rect,lut,...]
+
+Writes per-experiment logs next to --log-dir (default /tmp) and prints a
+stage-by-stage comparison table at the end.
+"""
+
+import argparse
+import os
+import re
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+EXPERIMENTS = {
+    "base": {},
+    "rect": {"BENCH_RECT": "24x32"},
+    "lut": {"CNRMA_SPARSE_LUT_BUDGET": "67108864"},
+    "derived": {"CNRMA_DERIVED_KMAPS": "1"},
+    "raycoarse": {"BENCH_RAY_COARSE": "8"},
+    "raycompact": {"CNRMA_RAY_COMPACT": "onehot"},
+    "bf16accum": {"BENCH_ACCUM_DTYPE": "bfloat16"},
+    "all": {"BENCH_RECT": "24x32",
+            "CNRMA_SPARSE_LUT_BUDGET": "67108864",
+            "CNRMA_DERIVED_KMAPS": "1",
+            "BENCH_RAY_COARSE": "8",
+            "CNRMA_RAY_COMPACT": "onehot"},
+    # stride-2 lattice eligible: 1.07 GB transient table
+    "all_bigbudget": {"BENCH_RECT": "24x32",
+                      "CNRMA_SPARSE_LUT_BUDGET": "300000000",
+                      "CNRMA_DERIVED_KMAPS": "1",
+                      "BENCH_RAY_COARSE": "8",
+                      "CNRMA_RAY_COMPACT": "onehot"},
+}
+
+_LINE = re.compile(r"^(\d_\w+): .* ([0-9.]+)ms/call")
+
+
+def parse_stages(text):
+    out = {}
+    for ln in text.splitlines():
+        m = _LINE.match(ln.strip())
+        if m:
+            out[m.group(1)] = float(m.group(2))
+        if ln.startswith("total:"):
+            m2 = re.search(r"([0-9.]+) ms/scene", ln)
+            if m2:
+                out["total"] = float(m2.group(1))
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--scale", default="full")
+    p.add_argument("--only", default="")
+    p.add_argument("--timeout", type=int, default=2400)
+    p.add_argument("--log-dir", default="/tmp")
+    args = p.parse_args()
+    names = ([n for n in args.only.split(",") if n] or
+             list(EXPERIMENTS))
+
+    results = {}
+    for name in names:
+        env = dict(os.environ)
+        env.update(EXPERIMENTS[name])
+        log = os.path.join(args.log_dir, f"knob_ab_{name}.log")
+        print(f"=== {name}: {EXPERIMENTS[name] or 'defaults'} -> {log}",
+              flush=True)
+        with open(log, "w") as f:
+            try:
+                subprocess.run(
+                    [sys.executable,
+                     os.path.join(HERE, "profile_stages.py"),
+                     "--scale", args.scale],
+                    env=env, stdout=f, stderr=subprocess.STDOUT,
+                    timeout=args.timeout)
+            except subprocess.TimeoutExpired:
+                print(f"    {name}: TIMEOUT after {args.timeout}s",
+                      flush=True)
+        results[name] = parse_stages(open(log).read())
+        if results[name]:
+            print(f"    {name}: " + "  ".join(
+                f"{k}={v:.0f}ms" for k, v in results[name].items()),
+                flush=True)
+
+    stages = sorted({k for r in results.values() for k in r})
+    if not stages:
+        print("no results parsed"); return
+    print("\n%-14s" % "experiment" + "".join(f"{s:>14}" for s in stages))
+    for name in names:
+        row = results.get(name, {})
+        print("%-14s" % name + "".join(
+            f"{row.get(s, float('nan')):>14.0f}" for s in stages))
+
+
+if __name__ == "__main__":
+    main()
