@@ -10,6 +10,15 @@ accelerator.  Small, fast-compiling programs — used to decide where custom
   segsum          sort + segment_sum used by voxelize
   conv3d          one dense 3D conv layer (U-Net hot op)
   matmul          MXU reference point
+  gathervar       TSDF-gather formulations (flat/bf16/int8/row+one-hot)
+  topkvar         exact top_k vs approx_max_k at ray-march shapes
+  lookup          kernel-map searchsorted, scan vs sort method
+  spconv          sparse conv: 27-matmul scan vs gather-once
+  gentrans        generative transpose + child sort
+  rect            rect-footprint volume-gather candidates (span gather,
+                  one-hot matmul orientations, fused)   [MICRO_SMALL=1]
+  lutmap          dense rank-LUT kernel maps vs sort    [MICRO_SMALL=1]
+  conv3dvar       conv3d layouts/dtypes for the U-Net wall [MICRO_SMALL=1]
 
 Usage: python tools/micro_bench.py [name ...]
 """
