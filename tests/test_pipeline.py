@@ -298,3 +298,87 @@ class TestFeatureTransformAug:
         np.testing.assert_allclose(float(nb[0, 0]), -1.0, atol=1e-6)
         np.testing.assert_allclose(float(nb[0, 6]), np.pi - 0.7,
                                    atol=1e-5)
+
+
+class TestGoldenEndToEnd:
+    """Golden end-to-end numerical regression (the 'golden e2e' gap from
+    the round-2 review): one fixed-seed tiny scene through the FULL
+    test-mode pipeline, digests of every stage-facing output pinned to
+    stored values.  An unintended numerical change in ANY stage — 2D
+    tower, volume accumulation, 3D U-Net, TSDF head, NeuS ray marching,
+    voxelization, sparse detection, box decode, loss plumbing — moves at
+    least one digest (reference behavior: ray_marching.py:456-521).
+
+    The pins are CPU values under conftest's deterministic settings
+    (fp32 compute, highest matmul precision, fixed PRNG seeds).  After an
+    INTENDED numerics change, regenerate with
+
+        CNRMA_GOLDEN_PRINT=1 python -m pytest tests/test_pipeline.py \
+            -k golden -q -s
+    """
+
+    def _digest(self, out):
+        d = {}
+        t = np.asarray(out["tsdf"]["scene_tsdf_010"], np.float64)
+        d["tsdf_mean"] = float(t.mean())
+        d["tsdf_std"] = float(t.std())
+        pts = out["points"]
+        pv = np.asarray(pts.valid, bool)
+        d["pts_n_valid"] = float(pv.sum())
+        if pv.any():
+            d["pts_xyz_mean"] = float(
+                np.asarray(pts.xyz, np.float64)[pv].mean())
+            d["pts_feat_absmean"] = float(
+                np.abs(np.asarray(pts.feats, np.float64)[pv]).mean())
+        bv = np.asarray(out["bbox_valid"], bool)
+        d["box_n_valid"] = float(bv.sum())
+        if bv.any():
+            d["box_param_mean"] = float(
+                np.asarray(out["bboxes"], np.float64)[bv].mean())
+            d["score_max"] = float(
+                np.asarray(out["scores"], np.float64)[bv].max())
+        for k, v in sorted(out["losses"].items()):
+            d[f"loss_{k}"] = float(v)
+        return d
+
+    # Captured on this box (CPU, fp32, highest precision, jax as pinned
+    # in the sandbox image).  loss_bbox/loss_centerness are exactly 0 at
+    # this seed (the tiny scene yields no assigner positives) — kept as
+    # pins anyway: a nonzero value would mean assignment semantics moved.
+    GOLDEN = {
+        "box_n_valid": 51.0,
+        "box_param_mean": 1.210949012,
+        "loss_loss_bbox": 0.0,
+        "loss_loss_centerness": 0.0,
+        "loss_loss_cls": 0.0017360412,
+        "loss_tsdf_loss_010": 0.5728494525,
+        "loss_tsdf_loss_020": 0.6917614937,
+        "loss_tsdf_loss_040": 0.5761498809,
+        "pts_feat_absmean": 87.8024076681,
+        "pts_n_valid": 168.0,
+        "pts_xyz_mean": 0.8163622864,
+        "score_max": 0.0184572563,
+        "tsdf_mean": -0.047164839,
+        "tsdf_std": 0.9692798469,
+    }
+
+    def test_digests_match_golden(self, cnrma_setup):
+        import os
+        model, batch, vars_ = cnrma_setup
+        rng = jax.random.PRNGKey(0)
+        out = jax.jit(lambda v, b: model.apply(
+            v, b, train=False, rngs={"sample": rng}))(vars_, batch)
+        got = self._digest(out)
+        if os.environ.get("CNRMA_GOLDEN_PRINT"):
+            import pprint
+            print("\nGOLDEN = ", end="")
+            pprint.pprint({k: round(v, 10) for k, v in got.items()})
+            return
+        assert set(got) == set(self.GOLDEN), (
+            f"digest keys changed: {sorted(set(got) ^ set(self.GOLDEN))}")
+        for k, want in self.GOLDEN.items():
+            np.testing.assert_allclose(
+                got[k], want, rtol=2e-3, atol=2e-5,
+                err_msg=f"golden digest '{k}' moved — unintended "
+                        "numerics change somewhere in the pipeline "
+                        "(regenerate only if the change is intended)")
