@@ -209,13 +209,20 @@ def run(scale: str):
         {"params": rng, "sample": rng}, batch, train=False))
     host_rng = np.random.RandomState(1)
 
-    def synth(s):
+    def synth(path, s):
         if jnp.issubdtype(s.dtype, jnp.floating):
-            return jnp.asarray(host_rng.normal(0.0, 0.02, s.shape)
-                               .astype(jnp.dtype(s.dtype)))
+            draw = host_rng.normal(0.0, 0.02, s.shape)
+            # variance-like leaves (BN running vars) must be positive:
+            # N(0, 0.02) makes ~half negative and rsqrt(var+eps) NaNs the
+            # whole forward — throughput is unaffected on TPU but the
+            # measured program would be numerically degenerate
+            name = str(getattr(path[-1], "key", path[-1])) if path else ""
+            if "var" in name:
+                draw = np.abs(draw) + 1.0
+            return jnp.asarray(draw.astype(jnp.dtype(s.dtype)))
         return jnp.zeros(s.shape, s.dtype)
 
-    variables = jax.tree_util.tree_map(synth, shapes)
+    variables = jax.tree_util.tree_map_with_path(synth, shapes)
     _phase(f"[{scale}] init done {time.perf_counter() - t0:.1f}s; "
            "compiling forward")
 
@@ -236,7 +243,14 @@ def run(scale: str):
     r = forward(variables, batch)
     force(r)
     warm = time.perf_counter() - t0
-    _phase(f"[{scale}] compile+first-run {warm:.1f}s; measuring")
+    # one-element finiteness probe: catches a numerically degenerate
+    # benchmark program (e.g. bad synthesized BN stats) at zero cost
+    finite = all(
+        bool(np.all(np.isfinite(np.asarray(
+            jax.device_get(leaf.reshape(-1)[:4]).astype(np.float32)))))
+        for leaf in jax.tree_util.tree_leaves(r))
+    _phase(f"[{scale}] compile+first-run {warm:.1f}s; "
+           f"outputs_finite={finite}; measuring")
     # adaptive iteration count: one timed probe decides how many repeats
     # fit a sane measurement window
     t0 = time.perf_counter()

@@ -41,10 +41,15 @@ def build_model(cfg, mode: str = "train", view_mesh=None):
     # TPU-only extension knob: sparse kernel-map/dedup LUT budget in
     # lattice cells (doc/performance.md).  A module-level trace-time
     # switch (like CNRMA_SPARSE_LUT_BUDGET, which takes precedence).
-    if "sparse_lut_budget" in m.keys() and not os.environ.get(
-            "CNRMA_SPARSE_LUT_BUDGET"):
+    # Configs WITHOUT the key reset the global to the env/default value so
+    # one model's budget never leaks into a later build_model in the same
+    # process.
+    if not os.environ.get("CNRMA_SPARSE_LUT_BUDGET"):
         from cnrma_tpu.ops import sparse as _sparse
-        _sparse.LUT_CELL_BUDGET = int(m["sparse_lut_budget"])
+        if "sparse_lut_budget" in m.keys():
+            _sparse.LUT_CELL_BUDGET = int(m["sparse_lut_budget"])
+        else:
+            _sparse.LUT_CELL_BUDGET = 0
 
     if model_type == "FCAF3DOnly":
         assigner = m.get("assigner", {})

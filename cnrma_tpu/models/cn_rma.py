@@ -260,25 +260,6 @@ class CNRMA(nn.Module):
         """Scaled-projection back-projection + mean accumulation."""
         proj = projections.at[..., :2, :].divide(self.backbone2d_stride)
         origin = jnp.asarray(self.origin, jnp.float32)
-        if self.view_mesh is not None:
-            from cnrma_tpu.ops.backproject import (
-                accumulate_views_view_sharded)
-            n = self.view_mesh.shape["view"]
-            pad = (-feats.shape[1]) % n
-            if pad:       # pad views to the shard count with invalid rows
-                proj = jnp.concatenate(
-                    [proj, jnp.repeat(proj[:, :1], pad, axis=1)], axis=1)
-                feats = jnp.concatenate(
-                    [feats, jnp.zeros_like(
-                        jnp.repeat(feats[:, :1], pad, axis=1))], axis=1)
-                view_valid = jnp.concatenate(
-                    [view_valid,
-                     jnp.zeros((view_valid.shape[0], pad), bool)], axis=1)
-            return batch_map(
-                lambda p, f, v: accumulate_views_view_sharded(
-                    self.view_mesh, p, f, v, self.voxel_dim,
-                    self.voxel_size, origin),
-                proj, feats, view_valid)
         tile, tile_cap = 0, 0
         if self.bp_tile > 0 and all(d % self.bp_tile == 0
                                     for d in self.voxel_dim):
@@ -297,6 +278,29 @@ class CNRMA(nn.Module):
             rect_cap = max(1, int(round(self.bp_rect_frac * n_tiles)))
             # tile_capacity becomes the (small) overflow row-gather cap
             tile_cap = max(1, int(round(self.bp_overflow_frac * n_tiles)))
+        if self.view_mesh is not None:
+            from cnrma_tpu.ops.backproject import (
+                accumulate_views_view_sharded)
+            n = self.view_mesh.shape["view"]
+            pad = (-feats.shape[1]) % n
+            if pad:       # pad views to the shard count with invalid rows
+                proj = jnp.concatenate(
+                    [proj, jnp.repeat(proj[:, :1], pad, axis=1)], axis=1)
+                feats = jnp.concatenate(
+                    [feats, jnp.zeros_like(
+                        jnp.repeat(feats[:, :1], pad, axis=1))], axis=1)
+                view_valid = jnp.concatenate(
+                    [view_valid,
+                     jnp.zeros((view_valid.shape[0], pad), bool)], axis=1)
+            # same accumulation knobs as the single-program path below
+            return batch_map(
+                lambda p, f, v: accumulate_views_view_sharded(
+                    self.view_mesh, p, f, v, self.voxel_dim,
+                    self.voxel_size, origin,
+                    accum_dtype=jnp.dtype(self.bp_accum_dtype),
+                    tile=tile, tile_capacity=tile_cap,
+                    rect=rect, rect_capacity=rect_cap),
+                proj, feats, view_valid)
         vol, valid = batch_map(
             lambda p, f, v: accumulate_views(
                 p, f, v, self.voxel_dim, self.voxel_size, origin,

@@ -779,7 +779,13 @@ def accumulate_views_view_sharded(mesh, projections: jnp.ndarray,
                                   voxel_dim: Sequence[int],
                                   voxel_size: float,
                                   origin: jnp.ndarray,
-                                  axis: str = "view"
+                                  axis: str = "view",
+                                  accum_dtype=jnp.float32,
+                                  view_chunk: int = 4,
+                                  tile: int = 0,
+                                  tile_capacity: int = 0,
+                                  rect: Tuple[int, int] = (0, 0),
+                                  rect_capacity: int = 0
                                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """View-parallel volume accumulation (SURVEY.md §5 scaling plan).
 
@@ -790,6 +796,10 @@ def accumulate_views_view_sharded(mesh, projections: jnp.ndarray,
     ``accumulate_views`` (the accumulator is a commutative fp32 sum).
 
     Requires ``V % mesh.shape[axis] == 0`` (pad with invalid views).
+
+    The accumulation knobs (``accum_dtype`` / ``view_chunk`` / frustum
+    tile/rect culling) apply per shard exactly as in
+    ``accumulate_views`` — the same config values drive both paths.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -802,8 +812,11 @@ def accumulate_views_view_sharded(mesh, projections: jnp.ndarray,
                          f"size ({n}); pad with invalid views")
 
     def partial_fn(proj, feats, valid):
-        return accumulate_views_partial(proj, feats, valid, voxel_dim,
-                                        voxel_size, origin)
+        return accumulate_views_partial(
+            proj, feats, valid, voxel_dim, voxel_size, origin,
+            accum_dtype=accum_dtype, view_chunk=view_chunk, tile=tile,
+            tile_capacity=tile_capacity, rect=rect,
+            rect_capacity=rect_capacity)
 
     # check_vma off: the scan accumulator inits as a replicated zero but
     # becomes device-varying through the per-shard views — by construction

@@ -90,9 +90,15 @@ def unique_sorted(keys_sorted: jnp.ndarray, capacity: int
 
 
 def lattice_cells(grid: VoxelGrid, stride: int) -> int:
-    """Number of stride-lattice cells of the grid (for LUT sizing)."""
+    """Number of stride-lattice cells of the grid (for LUT sizing).
+
+    Ceil division on every axis: a bound not divisible by the stride
+    still has valid stride-multiple coords in its partial last cell
+    (shifted x in [nx_floor*stride, bx)), and those must map to a real
+    cell or LUT lookups silently miss rows the sort path finds.
+    """
     bx, by, bz = grid.bounds
-    return (bx // stride) * (by // stride) * (-(-bz // stride))
+    return (-(-bx // stride)) * (-(-by // stride)) * (-(-bz // stride))
 
 
 def lattice_index(grid: VoxelGrid, stride: int, coords: jnp.ndarray,
@@ -108,7 +114,7 @@ def lattice_index(grid: VoxelGrid, stride: int, coords: jnp.ndarray,
     sx, sy, sz = grid.shifts
     assert sx % stride == 0 and sy % stride == 0 and sz % stride == 0, (
         f"grid shifts {grid.shifts} not divisible by stride {stride}")
-    nx, ny, nz = bx // stride, by // stride, -(-bz // stride)
+    nx, ny, nz = -(-bx // stride), -(-by // stride), -(-bz // stride)
     x = (coords[..., 0] + sx) // stride
     y = (coords[..., 1] + sy) // stride
     z = (coords[..., 2] + sz) // stride
@@ -139,11 +145,16 @@ def lookup_lut(keys_sorted: jnp.ndarray, coords: jnp.ndarray, grid: VoxelGrid,
     cells = lattice_cells(grid, stride)
     valid = keys_sorted != SENTINEL_KEY
     cell = lattice_index(grid, stride, coords, valid)
-    tbl = jnp.zeros((cells + 1,), jnp.int32).at[cell].set(
+    # Table sized `cells`: every invalid/sentinel row maps to cell==cells,
+    # which is out of bounds and dropped.  (A cells+1 table would funnel
+    # all sentinel rows onto one slot — duplicate scatter indices, so no
+    # uniqueness promise could be made.)  Applied indices are unique by
+    # the SparseTensor sorted-unique-keys invariant.
+    tbl = jnp.zeros((cells,), jnp.int32).at[cell].set(
         jnp.arange(1, n + 1, dtype=jnp.int32), mode="drop",
         unique_indices=True)
     qcell = lattice_index(grid, stride, query_coords, query_valid)
-    got = jnp.take(tbl, jnp.minimum(qcell, cells))
+    got = jnp.take(tbl, jnp.minimum(qcell, cells - 1))
     found = (got > 0) & (qcell < cells)
     idx = jnp.clip(got - 1, 0, n - 1)
     return idx, found

@@ -268,6 +268,42 @@ class TestLutKernelMap:
                                            atol=1e-5, err_msg=str(
                                                (stride, lut, cap)))
 
+    def test_partial_lattice_cells(self):
+        # bounds NOT divisible by the stride: valid stride-multiple
+        # coords in the partial last cell (shifted x=96 < bx=100) must
+        # still be found by the LUT path (regression: floor division
+        # dropped the partial cell and silently missed real rows)
+        from cnrma_tpu.ops.voxelize import (lattice_cells, lookup_lut)
+        grid = VoxelGrid(bounds=(100, 100, 60), shifts=(48, 48, 8))
+        stride = 8
+        assert lattice_cells(grid, stride) == 13 * 13 * 8
+        rng = np.random.RandomState(23)
+        # every lattice position incl. the partial cells (shifted 96 /
+        # z-shifted 56), minus the shifts -> unshifted coords
+        xs = np.arange(0, 100, stride) - 48
+        zs = np.arange(0, 60, stride) - 8
+        coords = np.stack(np.meshgrid(xs, xs, zs, indexing="ij"),
+                          axis=-1).reshape(-1, 3).astype(np.int32)
+        pick = rng.permutation(len(coords))[:64]
+        coords = coords[np.sort(pick)]
+        keys = np.asarray(grid.pack(jnp.asarray(coords)))
+        order = np.argsort(keys)
+        keys_s = jnp.asarray(keys[order])
+        coords_s = jnp.asarray(coords[order])
+        valid = jnp.ones((len(coords),), bool)
+        # query every lattice position; the LUT answer must match lookup
+        q = jnp.asarray(np.stack(np.meshgrid(xs, xs, zs, indexing="ij"),
+                                 axis=-1).reshape(-1, 3).astype(np.int32))
+        qv = jnp.ones((q.shape[0],), bool)
+        idx_lut, fnd_lut = lookup_lut(keys_s, coords_s, grid, stride, q, qv)
+        idx_ref, fnd_ref = lookup(keys_s, grid.pack(q))
+        np.testing.assert_array_equal(np.asarray(fnd_lut),
+                                      np.asarray(fnd_ref))
+        f = np.asarray(fnd_ref)
+        np.testing.assert_array_equal(np.asarray(idx_lut)[f],
+                                      np.asarray(idx_ref)[f])
+        assert f.sum() == 64 and f.size == 13 * 13 * 8
+
     def test_budget_respects_lattice_size(self, monkeypatch):
         # stride-1 lattice (2.1G cells) must NOT take the LUT path even
         # with a large-but-smaller budget

@@ -139,8 +139,12 @@ def main():
     if eval_cfg and cfg.get("data", {}).get("val"):
         try:
             val_dataset = build_dataset(cfg, "val", seed=args.seed)
+            # drop_last=False: validation must see every scene — with a
+            # val split smaller than batch_size, drop_last would yield
+            # zero batches and silently disable the best-checkpoint hook
+            # (the partial final batch costs one extra eval-step compile)
             val_loader = SceneLoader(val_dataset, batch_size=batch_size,
-                                     num_workers=1, drop_last=True)
+                                     num_workers=1, drop_last=False)
             eval_interval = max(1, int(eval_cfg.get("interval", 1)))
         except Exception as e:
             print(f"WARNING: val split unavailable ({e}); "
