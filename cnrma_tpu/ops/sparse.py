@@ -171,9 +171,15 @@ def kernel_map(st: SparseTensor, offsets: np.ndarray,
         query_coords = st.coords
         query_keys = st.keys
     s = st.stride if offset_stride is None else offset_stride
-    offs = jnp.asarray(offsets, jnp.int32) * s                   # [K,3]
+    # offsets are STATIC (np.ndarray from kernel_offsets); do the scale and
+    # the LUT-eligibility divisibility check in numpy BEFORE any jnp
+    # conversion — under a remat/checkpoint trace even jnp ops on
+    # constants yield tracers, and np.asarray on one raises
+    # TracerArrayConversionError (seen tracing the rematted detector).
+    offs_np = np.asarray(offsets, np.int32) * s                  # [K,3]
+    offs = jnp.asarray(offs_np)
     q = query_coords[None, :, :] + offs[:, None, :]              # [K,M,3]
-    k, m = offs.shape[0], query_coords.shape[0]
+    k, m = offs_np.shape[0], query_coords.shape[0]
     q_valid = jnp.ones((k, m), bool) if query_keys is None else \
         jnp.broadcast_to((query_keys != SENTINEL_KEY)[None, :], (k, m))
     # LUT path: every coord in a kernel map is a multiple of st.stride
@@ -181,7 +187,7 @@ def kernel_map(st: SparseTensor, offsets: np.ndarray,
     # lookup_lut exactness contract
     if (lut_eligible(st.grid, st.stride)
             and all(int(o) % st.stride == 0
-                    for o in np.asarray(offs).reshape(-1))):
+                    for o in offs_np.reshape(-1))):
         idx, found = lookup_lut(st.keys, st.coords, st.grid, st.stride,
                                 q.reshape(-1, 3), q_valid.reshape(-1))
         return idx.reshape(k, m), found.reshape(k, m)

@@ -194,6 +194,30 @@ class TestLutKernelMap:
         np.testing.assert_array_equal(np.asarray(idx0)[f],
                                       np.asarray(idx1)[f])
 
+    def test_lut_kernel_map_under_remat(self, monkeypatch):
+        """Regression: the LUT-eligibility check must be pure numpy.  Under
+        a ``jax.checkpoint`` trace even jnp ops on concrete constants yield
+        tracers, and an ``np.asarray`` on the scaled offsets raised
+        TracerArrayConversionError when tracing the rematted detector."""
+        import cnrma_tpu.ops.sparse as sparse_mod
+        rng = np.random.RandomState(3)
+        st = self._random_st(rng, 8)
+        offs = kernel_offsets(3)
+        idx0, fnd0 = kernel_map(st, offs)
+        monkeypatch.setattr(sparse_mod, "LUT_CELL_BUDGET", 1 << 28)
+
+        @jax.jit
+        @jax.checkpoint
+        def km(feats):
+            idx, fnd = kernel_map(st.with_feats(feats), offs)
+            return idx, fnd
+
+        idx1, fnd1 = km(st.feats)
+        np.testing.assert_array_equal(np.asarray(fnd0), np.asarray(fnd1))
+        f = np.asarray(fnd0)
+        np.testing.assert_array_equal(np.asarray(idx0)[f],
+                                      np.asarray(idx1)[f])
+
     def test_strided_and_pool_queries(self, monkeypatch):
         import cnrma_tpu.ops.sparse as sparse_mod
         rng = np.random.RandomState(7)
