@@ -64,13 +64,21 @@ def fcaf3d_assign(points: jnp.ndarray,
     w, l, h = gt_boxes[:, 3], gt_boxes[:, 4], gt_boxes[:, 5]
     yaw = gt_boxes[:, 6]
 
-    # local (de-rotated) offsets, [P, M]
+    # local (de-rotated) offsets, [P, M].  The reference derotates with
+    # mmdet3d-0.15 ``rotation_3d_in_axis(shift, -yaw, axis=2)``
+    # (``fcaf3d_head.py:435``); that helper's einsum applies the TRANSPOSE
+    # of the standard rotation matrix (i.e. rotates clockwise for +angle),
+    # so with angle=-yaw the local frame is lx = c*ox - s*oy,
+    # ly = s*ox + c*oy — the opposite sin sign from the textbook
+    # world->box derotation.  We match the reference bit for bit
+    # (verified by tools/detection_parity.py against the reference's own
+    # torch assigner).
     ox = points[:, 0:1] - cx[None, :]
     oy = points[:, 1:2] - cy[None, :]
     oz = points[:, 2:3] - cz[None, :]
     c, s = jnp.cos(yaw)[None, :], jnp.sin(yaw)[None, :]
-    lx = c * ox + s * oy
-    ly = -s * ox + c * oy
+    lx = c * ox - s * oy
+    ly = s * ox + c * oy
 
     dx_min = lx + w[None, :] / 2
     dx_max = w[None, :] / 2 - lx

@@ -166,6 +166,9 @@ def kernel_map(st: SparseTensor, offsets: np.ndarray,
 
     query defaults to the tensor's own coordinates (submanifold conv).
     ``offset_stride`` scales the integer offsets (defaults to st.stride).
+    ``offsets`` must be a CONCRETE host ``np.ndarray`` (as produced by
+    ``kernel_offsets``) — it is consumed by numpy at trace time, so a
+    traced/jnp array raises immediately rather than miscompiling.
     """
     if query_coords is None:
         query_coords = st.coords

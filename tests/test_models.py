@@ -127,7 +127,12 @@ class TestAssigner:
         # same point is outside the unrotated box.  (Two extra far points
         # supply the strictly-greater topk threshold — with a single
         # candidate the reference's `centerness > kth` also assigns none.)
-        pts = jnp.array([[0.7, 0.7, 0.0], [9.0, 9.0, 9.0],
+        # NOTE the reference's derotation (mmdet3d-0.15
+        # ``rotation_3d_in_axis``) applies the TRANSPOSED rotation matrix,
+        # so for yaw=+45deg the box's long (w, x) axis lies along the
+        # (+x,-y) diagonal — verified bit-for-bit against the reference's
+        # own torch assigner by tools/detection_parity.py.
+        pts = jnp.array([[0.7, -0.7, 0.0], [9.0, 9.0, 9.0],
                          [-9.0, -9.0, -9.0]])
         mk = lambda yaw: jnp.array([[0, 0, 0, 2.4, 0.4, 1.0, yaw]])
         common = dict(n_scales=1, limit=1, topk=5)
