@@ -78,10 +78,12 @@ def build_bench(scale: str, batch: int = 1):
                         neck=(6144, 4096, 2048)))
     elif scale == "full_ship":
         # the SHIPPING config's capacities (configs/ray_marching_scannet
-        # .py): rays 32768, max_points 500k->524288 (pow2 pad), voxelize
-        # 409600 — the honest "reference ScanNet test setting" rung
+        # .py): rays 98304 (tools/raycap_probe.py: 32768 clipped up to
+        # 36% of per-view weight mass; 98304 keeps 100%), max_points
+        # 500k->524288 (pow2 pad), voxelize 409600 — the honest
+        # "reference ScanNet test setting" rung
         dims = dict(voxel_dim=(256, 256, 96), views=50, h=480, w=640,
-                    rays_cap=32768, max_points=500000, ray_samples=300,
+                    rays_cap=98304, max_points=500000, ray_samples=300,
                     caps=DetectionCapacities(
                         voxelize=409600, stride2=262144, stride4=131072,
                         levels=(32768, 12288, 4096, 2048),
@@ -117,6 +119,10 @@ def build_bench(scale: str, batch: int = 1):
                         voxelize=32768, stride2=24576, stride4=16384,
                         levels=(8192, 4096, 2048, 1024),
                         neck=(24576, 16384, 8192)))
+    if os.environ.get("BENCH_RAYS_CAP"):
+        # A/B knob for the per-view ray-march capacity (the
+        # tools/raycap_probe.py clipping study)
+        dims["rays_cap"] = int(os.environ["BENCH_RAYS_CAP"])
 
     model = CNRMA(
         voxel_dim=dims["voxel_dim"], voxel_size=0.04,
@@ -125,9 +131,12 @@ def build_bench(scale: str, batch: int = 1):
         ray_samples=dims["ray_samples"],
         rays_per_view_cap=dims["rays_cap"],
         max_points=dims["max_points"], capacities=dims["caps"],
-        # A/B knob for the volume-accumulator dtype experiment
-        # (doc/performance.md); default fp32 = reference semantics
-        bp_accum_dtype=os.environ.get("BENCH_ACCUM_DTYPE", "float32"),
+        # Volume-accumulator dtype: bf16 by default since the round-4
+        # TPU A/B (volume stage 983 -> 835 ms; view counts stay fp32,
+        # error bounded by test — doc/performance.md).  The shipping
+        # configs set the same; BENCH_ACCUM_DTYPE=float32 restores the
+        # reference's exact `self.volume += volume` semantics.
+        bp_accum_dtype=os.environ.get("BENCH_ACCUM_DTYPE", "bfloat16"),
         # A/B knob for the rect-footprint volume gather, e.g.
         # BENCH_RECT=24x32 (doc/performance.md); default off
         **(dict(bp_rect_h=int(os.environ["BENCH_RECT"].split("x")[0]),

@@ -101,7 +101,9 @@ def indoor_eval(gt_annos: Sequence[Dict], results: Sequence[Dict],
                     fp[rank] = 1
                     continue
                 best = int(np.argmax(iou[j]))
-                if iou[j, best] >= thr and not matched[si][best]:
+                # STRICT > like mmdet3d eval_det_cls / the original VOC
+                # scorer: a detection at exactly the threshold is a FP
+                if iou[j, best] > thr and not matched[si][best]:
                     matched[si][best] = True
                     tp[rank] = 1
                 else:

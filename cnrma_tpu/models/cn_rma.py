@@ -151,7 +151,12 @@ class CNRMA(nn.Module):
     neus_threshold: float = 0.05
     depth_points: int = 2
     ray_samples: int = 300
-    rays_per_view_cap: int = 32768
+    # per-view kept-sample capacity: the reference keeps EVERY
+    # above-threshold sample (ray_marching.py:780-800, unbounded
+    # nonzero); we keep the capacity highest-weight ones.  98304 keeps
+    # 100% of the weight mass on every probed full-scale view
+    # (tools/raycap_probe.py — 32768 clipped up to 36%).
+    rays_per_view_cap: int = 98304
     max_points: int = 500000
     # empty-space skipping (neus only): coarse occupancy pre-march; 0
     # disables.  The fine TSDF gather — the measured ray-march wall — runs
@@ -159,7 +164,11 @@ class CNRMA(nn.Module):
     # band instead of all ``ray_samples`` (ops/ray_marching.py).
     ray_skip_factor: int = 8
     ray_skip_window: int = 48
-    ray_skip_coarse_step: int = 4
+    # coarse pre-march stride: 8 fine steps stays under one dilated
+    # coarse-cell edge (cells are 8 voxels; the band cannot be stepped
+    # over — pinned to the dense march by test).  Default 8 since the
+    # round-4 TPU A/B: ray march 565 -> 433 ms at full scale.
+    ray_skip_coarse_step: int = 8
     # frustum-tile culling for volume accumulation (ops/backproject.py):
     # per view only the bp_tile_frac fraction of bp_tile³ voxel tiles with
     # the most in-frustum voxels are gathered.  Exact whenever each view's
@@ -248,9 +257,19 @@ class CNRMA(nn.Module):
     def extract_2d(self, imgs: jnp.ndarray, train: bool) -> jnp.ndarray:
         """[B, V, H, W, 3] -> [B, V, h, w, C] stride-4 features.  All views
         share one joint batch (the reference's ``use_batchnorm_train`` path,
-        ``ray_marching.py:419-426``)."""
+        ``ray_marching.py:419-426``).
+
+        With ``view_mesh`` the per-view batch is GSPMD-sharded over the
+        'view' axis: the tower is embarrassingly parallel per image at
+        eval time (running BN stats), so one sharding constraint splits
+        every conv across chips with no collectives until the consumer."""
         b, v = imgs.shape[:2]
         x = self.normalize_images(imgs.reshape((b * v,) + imgs.shape[2:]))
+        if self.view_mesh is not None and not train \
+                and (b * v) % self.view_mesh.shape["view"] == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            x = jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.view_mesh, P("view")))
         feats = self.tower2d(x, train=train)
         return feats.reshape((b, v) + feats.shape[1:])
 
@@ -320,13 +339,20 @@ class CNRMA(nn.Module):
     # ------------------------------------------------------------------
     def ray_march(self, feats: jnp.ndarray, projections: jnp.ndarray,
                   view_valid: jnp.ndarray, tsdf004: jnp.ndarray,
-                  offset: jnp.ndarray, rng: jax.Array) -> RayPoints:
+                  offset: jnp.ndarray, rng: jax.Array,
+                  scene_seed: Optional[jnp.ndarray] = None) -> RayPoints:
         """All-view ray marching -> weighted feature point cloud.
 
         Mirrors ``aggregate_2d_features_ray_marching`` + ``switch_pointcloud``
         (``ray_marching.py:260-307,339-407``): per-view NeuS/depth marching,
         weight normalization by the global mean, random subsample to
         ``max_points``, pixel-feature gather, weight multiply, offset add.
+
+        ``scene_seed`` ([B] int32, optional): when given, each scene's
+        subsample key is ``fold_in(rng, seed_b)`` instead of
+        ``split(rng, B)[b]`` — making the draw a function of the scene
+        alone, so a multi-device N-scene batch (``tools/test.py
+        --n-devices``) bit-matches N sequential single-scene runs.
         """
         b, v, h, w, c = feats.shape
         proj = projections.at[..., :2, :].divide(self.backbone2d_stride)
@@ -351,21 +377,56 @@ class CNRMA(nn.Module):
             occ = (build_occupancy(tsdf_b, self.ray_skip_factor)
                    if use_skip else None)
 
-            def per_view(pv):
-                p, idx = pv
-                extra = {"occupancy": occ} if use_skip else {}
-                pts = march(p, tsdf_b, self.voxel_dim, self.voxel_size,
-                            origin, h, w, view_index=idx,
-                            n_samples=self.ray_samples,
-                            capacity=self.rays_per_view_cap, **extra)
-                keep_w = jnp.where(valid_b[idx], pts.weight, 0.0)
-                return RayMarchPoints(pts.xyz, keep_w, pts.uv, pts.view)
+            def make_per_view(tsdf_r, occ_r, valid_r):
+                def per_view(pv):
+                    p, idx = pv
+                    extra = {"occupancy": occ_r} if use_skip else {}
+                    pts = march(p, tsdf_r, self.voxel_dim,
+                                self.voxel_size, origin, h, w,
+                                view_index=idx,
+                                n_samples=self.ray_samples,
+                                capacity=self.rays_per_view_cap, **extra)
+                    ok = valid_r[jnp.minimum(idx, v - 1)] & (idx < v)
+                    keep_w = jnp.where(ok, pts.weight, 0.0)
+                    return RayMarchPoints(pts.xyz, keep_w, pts.uv,
+                                          pts.view)
+                return per_view
 
-            per = jax.lax.map(per_view,
-                              (proj_b, jnp.arange(v)))        # [V, K, ...]
+            if self.view_mesh is not None:
+                # view-parallel marching (SURVEY.md §5): each device
+                # marches its view shard against the REPLICATED TSDF;
+                # the downstream mean/subsample run on the re-combined
+                # buffers.  Views pad to the shard count with dead rows.
+                from jax.sharding import PartitionSpec as P
+                n = self.view_mesh.shape["view"]
+                vp = v + ((-v) % n)
+                proj_v = (jnp.concatenate(
+                    [proj_b, jnp.repeat(proj_b[:1], vp - v, axis=0)])
+                    if vp != v else proj_b)
+
+                def march_shard(proj_s, ids_s, tsdf_r, valid_r, *occ_opt):
+                    pv = make_per_view(tsdf_r,
+                                       occ_opt[0] if occ_opt else None,
+                                       valid_r)
+                    return jax.lax.map(pv, (proj_s, ids_s))
+
+                operands = [proj_v, jnp.arange(vp), tsdf_b, valid_b]
+                in_specs = [P("view"), P("view"), P(), P()]
+                if use_skip:
+                    operands.append(occ)
+                    in_specs.append(P())
+                per = jax.shard_map(
+                    march_shard, mesh=self.view_mesh,
+                    in_specs=tuple(in_specs), out_specs=P("view"),
+                    check_vma=False)(*operands)
+                n_flat = vp * self.rays_per_view_cap
+            else:
+                per = jax.lax.map(
+                    make_per_view(tsdf_b, occ, valid_b),
+                    (proj_b, jnp.arange(v)))                  # [V, K, ...]
+                n_flat = v * self.rays_per_view_cap
             flat = jax.tree_util.tree_map(
-                lambda a: a.reshape((v * self.rays_per_view_cap,)
-                                    + a.shape[2:]), per)
+                lambda a: a.reshape((n_flat,) + a.shape[2:]), per)
             valid = flat.weight > 0
             # normalize weights by the mean over all collected samples
             mean_w = (jnp.sum(flat.weight)
@@ -373,7 +434,7 @@ class CNRMA(nn.Module):
                                     1.0))
             weights = flat.weight / jnp.maximum(mean_w, 1e-12)
             # random subsample of valid points to max_points
-            r = jax.random.uniform(rng_b, (v * self.rays_per_view_cap,))
+            r = jax.random.uniform(rng_b, (n_flat,))
             order = jnp.argsort(jnp.where(valid, r, jnp.inf))
             sel = order[:self.max_points]
             return (jnp.take(flat.xyz, sel, axis=0),
@@ -382,7 +443,8 @@ class CNRMA(nn.Module):
                     jnp.take(flat.view, sel),
                     jnp.take(valid, sel))
 
-        rngs = jax.random.split(rng, b)
+        rngs = (jax.vmap(lambda s: jax.random.fold_in(rng, s))(scene_seed)
+                if scene_seed is not None else jax.random.split(rng, b))
         xyz, wts, uv, view, valid = batch_map(
             scene, proj, tsdf, view_valid, rngs)
 
@@ -427,7 +489,8 @@ class CNRMA(nn.Module):
                if self.has_rng("sample") else jax.random.PRNGKey(0))
         pts = self.ray_march(feats, projections, view_valid,
                              tsdf_out[f"scene_tsdf_{self.tsdf_head.keys[-1]}"],
-                             batch["offset"], rng)
+                             batch["offset"], rng,
+                             scene_seed=batch.get("scene_seed"))
         # move to world/detection frame (reference switch_pointcloud:364)
         xyz = pts.xyz + batch["offset"][:, None, :]
 

@@ -41,7 +41,12 @@ from cnrma_tpu.ops.voxelize import (
 # sort-based searchsorted; 0 disables.  On the default VoxelGrid the
 # lattice is 134 MB int32 at stride 4 and <= 17 MB at stride 8+.
 # Baked into traced programs at trace time.
-LUT_CELL_BUDGET = int(os.environ.get("CNRMA_SPARSE_LUT_BUDGET", "0"))
+# DEFAULT ON at 64 Mi cells since the round-4 TPU A/B (detection stage
+# 780 -> 654 ms at full scale, doc/performance.md); bit-identical to the
+# sort path by test.  A 300M budget (stride-2 lattice eligible, 1.07 GB
+# table) measured SLOWER (710 ms) — the giant scatter eats the win.
+LUT_CELL_BUDGET = int(os.environ.get("CNRMA_SPARSE_LUT_BUDGET",
+                                     str(64 * 1024 * 1024)))
 
 
 # Derive strided-op kernel maps from the downsample's parent relation
@@ -49,7 +54,9 @@ LUT_CELL_BUDGET = int(os.environ.get("CNRMA_SPARSE_LUT_BUDGET", "0"))
 # exactly one (offset, output) pair), and a k3-s2 strided conv needs only
 # an 8-offset neighbor map over the OUTPUT set (vs 27 query offsets over
 # the input set).  0 disables.  Baked into traced programs at trace time.
-DERIVED_KMAPS = int(os.environ.get("CNRMA_DERIVED_KMAPS", "0"))
+# DEFAULT ON since the round-4 TPU A/B (detection 780 -> 748 ms alone,
+# additive with the LUT: 628 ms combined); bit-identical by test.
+DERIVED_KMAPS = int(os.environ.get("CNRMA_DERIVED_KMAPS", "1"))
 
 
 def lut_eligible(grid: VoxelGrid, stride: int) -> bool:

@@ -30,7 +30,7 @@ from cnrma_tpu.train.state import TrainState, save_checkpoint
 
 BATCH_ARRAY_KEYS = ("imgs", "projection", "view_valid", "offset",
                     "gt_boxes", "gt_labels", "gt_valid",
-                    "points", "point_feats", "point_valid")
+                    "points", "point_feats", "point_valid", "scene_seed")
 
 
 def device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
@@ -287,19 +287,71 @@ def evaluate_val(model, state: TrainState, val_loader,
     return {f"val/{k}": v / max(n, 1) for k, v in sums.items()}
 
 
+def evaluate_val_map(model, state: TrainState, val_loader,
+                     eval_step=None, score_thr: float = 0.01,
+                     iou_thr: float = 0.5) -> Dict[str, float]:
+    """mAP@0.25/0.5 over a validation loader: test-mode apply -> per-scene
+    in-framework NMS -> ``indoor_eval`` — the reference's metric-driven
+    evaluation workflow (``post_process/nms_bbox.py`` +
+    ``evaluate_bbox.py``) run inline each eval interval, so best-checkpoint
+    selection tracks the metric that actually ships rather than val loss."""
+    from cnrma_tpu.eval.indoor_eval import indoor_eval
+    from cnrma_tpu.ops.nms import multiclass_nms_np
+
+    if eval_step is None:
+        eval_step = make_eval_step(model)
+    gts, preds = [], []
+    for batch in val_loader:
+        out = jax.device_get(eval_step(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            device_batch(batch)))
+        if "bboxes" not in out:
+            return {}
+        gt_boxes = np.asarray(batch["gt_boxes"])
+        gt_labels = np.asarray(batch["gt_labels"])
+        gt_valid = np.asarray(batch["gt_valid"])
+        for i in range(gt_boxes.shape[0]):
+            bv = np.asarray(out["bbox_valid"][i], bool)
+            boxes, scores, labels = multiclass_nms_np(
+                np.asarray(out["bboxes"][i])[bv],
+                np.asarray(out["scores"][i])[bv],
+                score_thr=score_thr, iou_thr=iou_thr)
+            # model boxes/GT carry gravity-center z; indoor_eval takes
+            # bottom-z (DepthInstance3DBoxes storage)
+            b = np.array(boxes, np.float32, copy=True)
+            if len(b):
+                b[:, 2] -= b[:, 5] / 2
+            g = np.array(gt_boxes[i][gt_valid[i]], np.float32, copy=True)
+            if len(g):
+                g[:, 2] -= g[:, 5] / 2
+            preds.append({"boxes": b, "scores": scores, "labels": labels})
+            gts.append({"gt_boxes": g[:, :6],
+                        "labels": gt_labels[i][gt_valid[i]]})
+    m = indoor_eval(gts, preds, iou_thrs=(0.25, 0.5),
+                    rotated=bool(getattr(model, "with_yaw", False)),
+                    logger=None)
+    return {"val/mAP_0.25": m.get("mAP_0.25", 0.0),
+            "val/mAP_0.50": m.get("mAP_0.50", 0.0),
+            "val/mAR_0.25": m.get("mAR_0.25", 0.0)}
+
+
 def run_training(model, tx, loader, *, epochs: int, state: TrainState,
                  work_dir: str, lr_schedule=None, seed: int = 0,
                  log_interval: int = 10, checkpoint_interval: int = 10,
                  mesh=None, start_epoch: int = 0,
                  max_steps: Optional[int] = None,
-                 val_loader=None, eval_interval: int = 1) -> TrainState:
+                 val_loader=None, eval_interval: int = 1,
+                 eval_metric: str = "loss") -> TrainState:
     """Epoch-based training driver.  ``max_steps`` stops early (smoke
     runs / debugging), checkpointing the final state.
 
     With ``val_loader``, every ``eval_interval`` epochs the val split is
-    scored (``evaluate_val``) and the lowest-total-val-loss state is kept
-    as the ``best`` checkpoint — the reference's per-interval evaluation
-    + ``save_best`` hook behavior."""
+    scored and the best state is kept as the ``best`` checkpoint — the
+    reference's per-interval evaluation + ``save_best`` hook behavior.
+    ``eval_metric='loss'`` selects by lowest total val loss;
+    ``'mAP'`` additionally runs in-framework NMS + ``indoor_eval`` and
+    selects by highest val mAP@0.25 (the metric the reference's offline
+    workflow optimizes)."""
     mesh = mesh or make_mesh()
     step_fn = make_train_step(model, tx,
                               mesh=mesh if mesh.size > 1 else None)
@@ -325,13 +377,24 @@ def run_training(model, tx, loader, *, epochs: int, state: TrainState,
                 done or (epoch + 1) % eval_interval == 0
                 or epoch + 1 == epochs):
             val_vars = evaluate_val(model, state, val_loader, eval_step)
+            if eval_metric == "mAP":
+                val_vars.update(evaluate_val_map(
+                    model, state, val_loader, eval_step))
             logger(0, epoch, val_vars, float("nan"))
-            if val_vars.get("val/total_loss", float("inf")) < best_val:
-                best_val = val_vars["val/total_loss"]
+            # loss minimizes, mAP maximizes — compare on a signed score
+            score = (-val_vars.get("val/mAP_0.25", 0.0)
+                     if eval_metric == "mAP"
+                     else val_vars.get("val/total_loss", float("inf")))
+            if score < best_val:
+                best_val = score
                 save_checkpoint(
                     os.path.join(work_dir, "best"), state,
                     meta={"epoch": epoch + 1,
-                          "val_total_loss": best_val,
+                          "val_total_loss":
+                              val_vars.get("val/total_loss"),
+                          "val_mAP_0.25":
+                              val_vars.get("val/mAP_0.25"),
+                          "eval_metric": eval_metric,
                           "framework": "cnrma_tpu"})
         if done or (epoch + 1) % checkpoint_interval == 0 \
                 or epoch + 1 == epochs:

@@ -109,7 +109,9 @@ model = dict(
     neus_threshold=NEUS_THRESHOLD,
     depth_points=DEPTH_POINTS,
     max_points=500000,
-    rays_per_view_cap=32768,
+    # 98304 keeps 100% of per-view weight mass (32768 clipped up
+    # to 36% on interior views — tools/raycap_probe.py)
+    rays_per_view_cap=98304,
     ray_samples=300,
     # static sparse-tensor capacities (TPU fixed shapes)
     capacities=dict(voxelize=409600, stride2=262144, stride4=131072,

@@ -43,7 +43,7 @@ total_epochs = 40
 checkpoint_config = dict(interval=10)
 # mid-training val evaluation every `interval` epochs (reference
 # `evaluation = dict(interval=3000, ...)`, ray_marching_scannet.py:47)
-evaluation = dict(interval=10)
+evaluation = dict(interval=10, metric='mAP')
 log_config = dict(interval=10)
 seed = 0
 
@@ -106,7 +106,10 @@ model = dict(
     neus_threshold=NEUS_THRESHOLD,
     depth_points=DEPTH_POINTS,
     max_points=500000,
-    rays_per_view_cap=32768,
+    # 98304 keeps 100% of per-view weight mass (32768 clipped up
+    # to 36% on interior views — tools/raycap_probe.py)
+    rays_per_view_cap=98304,
+    bp_accum_dtype='bfloat16',  # round-4 TPU A/B win (doc/performance.md)
     ray_samples=300,
     # static sparse-tensor capacities (TPU fixed shapes)
     capacities=dict(voxelize=409600, stride2=262144, stride4=131072,

@@ -474,6 +474,46 @@ class TestRayMarching:
         assert np.isclose(w[w > 0].min(), 0.5, atol=1e-6)
 
 
+class TestRayCapProbe:
+    """Pins tools/raycap_probe.py (the rays_per_view_cap clipping study,
+    VERDICT r3 item 5).  The full-scale probe (default args, seed 0)
+    found interior viewpoints exceed 32768 above-threshold samples on
+    21/32 views (max 78527, min mass kept 63.9%) — which drove the
+    shipping cap to 98304 (100% mass kept on every probed view); these
+    reduced-scale checks keep the probe's machinery honest."""
+
+    @pytest.mark.slow
+    def test_probe_mass_accounting(self):
+        import sys
+        sys.path.insert(0, "tools")
+        import raycap_probe as rp
+
+        rng = np.random.default_rng(0)
+        dim, vs = (64, 64, 32), 0.08
+        tsdf = rp.make_room_tsdf(rng, voxel_dim=dim, voxel_size=vs,
+                                 n_boxes=4)
+        assert tsdf.shape == dim
+        assert tsdf.min() >= -1 and tsdf.max() <= 1
+        assert (tsdf < 0).any() and (tsdf > 0.99).any()
+        proj = rp.make_view(rng, voxel_dim=dim, voxel_size=vs,
+                            height=30, width=40)
+        s_all = rp.view_cap_stats(tsdf, proj, cap=10**9, voxel_dim=dim,
+                                  voxel_size=vs, height=30, width=40,
+                                  n_samples=100)
+        assert s_all["frac_kept"] == 1.0
+        assert s_all["n_above"] > 0
+        # a cap below the above-threshold count must clip mass, and the
+        # kept mass must be the TOP of the weight distribution
+        cap = max(1, s_all["n_above"] // 2)
+        s_cap = rp.view_cap_stats(tsdf, proj, cap=cap, voxel_dim=dim,
+                                  voxel_size=vs, height=30, width=40,
+                                  n_samples=100)
+        assert s_cap["mass_total"] == s_all["mass_total"]
+        assert 0 < s_cap["mass_kept"] < s_cap["mass_total"]
+        # top-half by weight holds more than half the mass
+        assert s_cap["frac_kept"] > 0.5
+
+
 class TestIoU3D:
     def test_identical(self):
         b = jnp.array([[0, 0, 0, 2, 2, 2, 0.0]])
@@ -626,3 +666,67 @@ class TestViewMeshModelPath:
                                    np.asarray(dense[0]), atol=1e-6)
         np.testing.assert_array_equal(np.asarray(sharded[1]),
                                       np.asarray(dense[1]))
+
+    def _ray_march_setup(self, V, skip):
+        rng = np.random.RandomState(5)
+        H, W, C = 8, 8, 4
+        dim = (16, 16, 16)
+        feats = jnp.asarray(rng.rand(1, V, H, W, C).astype(np.float32))
+        projs = []
+        for i in range(V):
+            K = np.array([[8.0, 0, W / 2], [0, 8.0, H / 2], [0, 0, 1]])
+            E = np.eye(4)
+            E[:3, 3] = [0.8 + 0.05 * i, 0.8, -0.4]
+            projs.append((K @ np.linalg.inv(E)[:3]).astype(np.float32))
+        projs = jnp.asarray(np.stack(projs))[None]
+        valid = jnp.ones((1, V), bool)
+        # a slab surface through the volume -> real NeuS weights
+        zs = (np.arange(16, dtype=np.float32) + 0.5) * 0.1
+        tsdf = np.clip((zs[None, None, :] - 0.8) / 0.12, -1, 1)
+        tsdf = jnp.asarray(np.broadcast_to(tsdf, dim)[None].copy())
+        # skip window 32: on this tiny 16³ grid the factor-8 occupancy is
+        # 2³ cells, so the dilated band covers the whole volume and the
+        # fine window anchors at volume ENTRY — it must still reach the
+        # slab surface at fine index ~21 (a 16-window ends blind at 15)
+        kw = dict(voxel_dim=dim, voxel_size=0.1, backbone2d_stride=1,
+                  ray_samples=48, rays_per_view_cap=128, max_points=2048,
+                  ray_skip_factor=8 if skip else 0, ray_skip_window=32)
+        return kw, feats, projs, valid, tsdf
+
+    @pytest.mark.parametrize("V,skip", [(8, False), (8, True), (6, False)])
+    def test_ray_march_view_mesh_matches(self, V, skip):
+        """CNRMA.ray_march with ``view_mesh`` (shard_map over views —
+        tools/test.py --view-shard) reproduces the dense lax.map path.
+        V=8 divides the mesh (bit-identical buffers incl. the subsample
+        draw); V=6 pads with dead views (same valid point SET)."""
+        import jax
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from cnrma_tpu.models.cn_rma import CNRMA
+        from cnrma_tpu.parallel.mesh import make_mesh
+
+        kw, feats, projs, valid, tsdf = self._ray_march_setup(V, skip)
+        offset = jnp.zeros((1, 3), jnp.float32)
+        key = jax.random.PRNGKey(0)
+        dense = CNRMA(**kw).bind({}).ray_march(
+            feats, projs, valid, tsdf, offset, key)
+        mesh = make_mesh(8, axis_names=("view",))
+        sharded = CNRMA(**kw, view_mesh=mesh).bind({}).ray_march(
+            feats, projs, valid, tsdf, offset, key)
+        dv = np.asarray(dense.valid[0])
+        sv = np.asarray(sharded.valid[0])
+        assert dv.sum() > 10          # the case must produce real points
+        assert dv.sum() == sv.sum()
+        if V % 8 == 0:
+            np.testing.assert_allclose(np.asarray(sharded.xyz),
+                                       np.asarray(dense.xyz), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(sharded.feats),
+                                       np.asarray(dense.feats), atol=1e-5)
+        else:
+            # padded buffers permute the subsample; compare the SETS
+            def rows(pts, m):
+                r = np.concatenate([np.asarray(pts.xyz[0])[m],
+                                    np.asarray(pts.feats[0])[m]], axis=1)
+                return r[np.lexsort(r.T[::-1])]
+            np.testing.assert_allclose(rows(sharded, sv), rows(dense, dv),
+                                       atol=1e-5)

@@ -233,6 +233,116 @@ class TestMultiDevice:
                     f"{err[-2000:]}")
 
 
+_SCENE_SHARDED_EVAL = """
+import sys
+sys.path[:0] = [__REPO__, __TESTS__]
+import jax
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_cpu_enable_async_dispatch', False)
+from cnrma_tpu.utils.comp_cache import enable_persistent_cache
+enable_persistent_cache(min_compile_secs=5.0)
+import jax.numpy as jnp
+import numpy as np
+from test_pipeline import tiny_model
+from cnrma_tpu.parallel.mesh import make_mesh, shard_batch
+from cnrma_tpu.utils.batching import vmap_batch_mode
+
+n = min(4, len(jax.devices()))
+model, batch = tiny_model(batch=n)
+# pure inference surface: no GT/targets -> no cross-scene reductions
+for k in ('tsdf_list', 'gt_boxes', 'gt_labels', 'gt_valid'):
+    batch.pop(k, None)
+batch['scene_seed'] = jnp.arange(n, dtype=jnp.int32)
+rng = jax.random.PRNGKey(0)
+b1 = jax.tree_util.tree_map(lambda a: a[:1], batch)
+vars_ = jax.jit(lambda: model.init(
+    dict(params=rng, sample=rng), b1, train=False))()
+key0 = jax.random.PRNGKey(0)
+
+fwd1 = jax.jit(lambda b: model.apply(vars_, b, train=False,
+                                     rngs={'sample': key0}))
+seq = [jax.device_get(fwd1(jax.tree_util.tree_map(
+    lambda a: a[i:i + 1], batch))) for i in range(n)]
+
+mesh = make_mesh(n)
+def fwd_n(b):
+    with vmap_batch_mode(True):
+        return model.apply(vars_, b, train=False, rngs={'sample': key0})
+out = jax.device_get(jax.jit(fwd_n)(shard_batch(batch, mesh)))
+
+def pick(o):
+    return {'tsdf': o['tsdf'][f'scene_tsdf_010'],
+            'bboxes': o['bboxes'], 'scores': o['scores'],
+            'bbox_valid': o['bbox_valid'],
+            'pts_xyz': np.asarray(o['points'].xyz),
+            'pts_feats': np.asarray(o['points'].feats),
+            'pts_valid': np.asarray(o['points'].valid)}
+
+for i in range(n):
+    a, b = pick(seq[i]), {k: v[i:i + 1] for k, v in pick(out).items()}
+    for k in a:
+        av, bv = np.asarray(a[k]), np.asarray(b[k])
+        assert av.shape == bv.shape, (k, av.shape, bv.shape)
+        # per-scene equivalence between the sharded N-scene program and
+        # N sequential single-scene runs: same subsample draws (scene
+        # seeds), same box set/validity; values agree to fp32 ULP level
+        # (GSPMD partitions fuse differently than the single-device
+        # program — measured max rel diff 4e-7 on pixel features)
+        np.testing.assert_allclose(av, bv, rtol=1e-5, atol=1e-5,
+                                   err_msg=f'scene {i} key {k}')
+print('SHARD_EVAL_OK', flush=True)
+"""
+
+
+class TestSceneShardedEval:
+    """tools/test.py --n-devices semantics: an N-scene device-sharded
+    eval batch reproduces N sequential single-scene runs per scene
+    (reference multi_gpu_test scene sharding, test.py:205-214).
+    Subprocess + retries for the XLA:CPU collective flake, like
+    TestMultiDevice."""
+
+    @pytest.mark.slow
+    def test_sharded_matches_sequential(self):
+        import os
+        import subprocess
+        import sys
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple (virtual) devices")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        code = (_SCENE_SHARDED_EVAL
+                .replace("__REPO__", repr(repo))
+                .replace("__TESTS__", repr(os.path.join(repo, "tests"))))
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        flags = env.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            flags += " --xla_force_host_platform_device_count=8"
+        if "collective_timeout" not in flags:
+            flags += " --xla_cpu_collective_timeout_seconds=900"
+        env["XLA_FLAGS"] = flags.strip()
+        last = None
+        for _ in range(3):
+            try:
+                r = subprocess.run([sys.executable, "-c", code], env=env,
+                                   capture_output=True, text=True,
+                                   timeout=1500)
+            except subprocess.TimeoutExpired as e:
+                last = e
+                continue
+            if r.returncode == 0:
+                assert "SHARD_EVAL_OK" in r.stdout
+                return
+            last = r
+            if "assert" in (r.stderr or ""):
+                break        # deterministic mismatch, retries can't help
+        rc = getattr(last, "returncode", "timeout")
+        err = last.stderr or b""
+        if isinstance(err, bytes):
+            err = err.decode("utf-8", "replace")
+        pytest.fail(f"scene-sharded eval failed 3 times: rc={rc}\n"
+                    f"{err[-2000:]}")
+
+
 class TestRunTraining:
     """The epoch driver end to end on one device: step loop, max_steps,
     logger, periodic checkpointing, and the mid-training val-eval +
@@ -256,7 +366,7 @@ class TestRunTraining:
             model, tx, [batch, batch], epochs=1, state=state,
             work_dir=str(tmp_path), mesh=make_mesh(1), max_steps=2,
             log_interval=1, checkpoint_interval=1,
-            val_loader=[batch], eval_interval=1)
+            val_loader=[batch], eval_interval=1, eval_metric="mAP")
         assert int(out.step) == 2
         # periodic checkpoint + best checkpoint both saved
         assert (tmp_path / "epoch_1" / "cnrma_meta.json").exists()
@@ -265,9 +375,14 @@ class TestRunTraining:
         import json
         meta = json.loads(best_meta.read_text())
         assert np.isfinite(float(meta["val_total_loss"]))
+        # mAP-based selection (reference's metric-driven workflow):
+        # the score is recorded and in range
+        assert meta["eval_metric"] == "mAP"
+        assert 0.0 <= float(meta["val_mAP_0.25"]) <= 1.0
         # the val scores went through the logger
         log_text = (tmp_path / "train.log").read_text()
         assert "val/total_loss" in log_text
+        assert "val/mAP_0.25" in log_text
 
 
 class TestFeatureTransformAug:

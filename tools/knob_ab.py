@@ -22,7 +22,15 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 EXPERIMENTS = {
+    # NOTE round 4 flipped the winners into the code defaults, so "base"
+    # now measures the shipping combo; "r3defaults" restores the old
+    # defaults for regression comparison.
     "base": {},
+    "r3defaults": {"CNRMA_SPARSE_LUT_BUDGET": "0",
+                   "CNRMA_DERIVED_KMAPS": "0",
+                   "BENCH_RAY_COARSE": "4",
+                   "BENCH_ACCUM_DTYPE": "float32"},
+    "raycap98k": {"BENCH_RAYS_CAP": "98304"},
     "rect": {"BENCH_RECT": "24x32"},
     "lut": {"CNRMA_SPARSE_LUT_BUDGET": "67108864"},
     "derived": {"CNRMA_DERIVED_KMAPS": "1"},
@@ -40,6 +48,12 @@ EXPERIMENTS = {
                       "CNRMA_DERIVED_KMAPS": "1",
                       "BENCH_RAY_COARSE": "8",
                       "CNRMA_RAY_COMPACT": "onehot"},
+    # round-4 TPU A/B winners (no rect — it regressed volume 983->1699;
+    # no onehot compact — neutral): what ships as defaults
+    "winners": {"CNRMA_SPARSE_LUT_BUDGET": "67108864",
+                "CNRMA_DERIVED_KMAPS": "1",
+                "BENCH_RAY_COARSE": "8",
+                "BENCH_ACCUM_DTYPE": "bfloat16"},
 }
 
 _LINE = re.compile(r"^(\d_\w+): .* ([0-9.]+)ms/call")

@@ -39,6 +39,12 @@ def parse_args():
                         "visible devices (one psum over ICI) — the "
                         "multi-chip latency path for single-scene "
                         "inference (SURVEY.md §5)")
+    p.add_argument("--n-devices", type=int, default=1,
+                   help="shard SCENES over the first N devices (the "
+                        "reference's multi_gpu_test over the val split, "
+                        "test.py:205-214): each step runs an N-scene "
+                        "batch, one scene per device. Bit-identical to "
+                        "sequential runs (per-scene subsample seeds).")
     p.add_argument("--max-scenes", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cfg-options", nargs="+", default=[])
@@ -73,8 +79,17 @@ def main():
     if middle_viz:
         os.makedirs(middle_viz, exist_ok=True)
 
+    n_dev = max(1, args.n_devices)
+    if n_dev > 1 and args.view_shard:
+        raise SystemExit("--n-devices (scene sharding) and --view-shard "
+                         "(view sharding) are mutually exclusive")
+    if n_dev > len(jax.devices()):
+        print(f"WARNING: --n-devices {n_dev} > {len(jax.devices())} "
+              "visible devices; clamping")
+        n_dev = len(jax.devices())
+
     dataset = build_dataset(cfg, "test", seed=args.seed)
-    loader = SceneLoader(dataset, batch_size=1, shuffle=False,
+    loader = SceneLoader(dataset, batch_size=n_dev, shuffle=False,
                          num_workers=2)
     view_mesh = None
     if args.view_shard:
@@ -90,9 +105,12 @@ def main():
     model = build_model(cfg, mode="test", view_mesh=view_mesh)
 
     sample = device_batch(next(iter(loader)))
+    # init on a single-scene slice: parameters are batch-independent and
+    # the b==1 trace is the fast `batch_map` shortcut
+    sample1 = jax.tree_util.tree_map(lambda a: a[:1], sample)
     rng = jax.random.PRNGKey(args.seed)
     variables = jax.jit(lambda: model.init(
-        {"params": rng, "sample": rng}, sample, train=False))()
+        {"params": rng, "sample": rng}, sample1, train=False))()
     if args.checkpoint:
         import optax
         state = TrainState.create(variables["params"],
@@ -102,21 +120,36 @@ def main():
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
 
-    @jax.jit
-    def forward(batch):
-        return model.apply(variables, batch, train=False,
-                           rngs={"sample": jax.random.PRNGKey(0)})
+    if n_dev > 1:
+        from cnrma_tpu.parallel.mesh import make_mesh, shard_batch
+        from cnrma_tpu.utils.batching import vmap_batch_mode
+        mesh = make_mesh(n_dev)
+        print(f"scene-sharding inference over {n_dev} devices")
 
-    voxel_size = model.voxel_size
-    t0 = time.time()
-    n_done = 0
-    for batch in loader:
-        scene = batch["scene"][0]
-        out = jax.device_get(forward(device_batch(batch)))
+        @jax.jit
+        def forward(batch):
+            # device-sharded batch axis: per-op partitioning (GSPMD), not
+            # the lax.map all-gather pathology (doc/performance.md)
+            with vmap_batch_mode(True):
+                return model.apply(variables, batch, train=False,
+                                   rngs={"sample": jax.random.PRNGKey(0)})
+
+        put = lambda b: shard_batch(b, mesh)  # noqa: E731
+    else:
+        @jax.jit
+        def forward(batch):
+            return model.apply(variables, batch, train=False,
+                               rngs={"sample": jax.random.PRNGKey(0)})
+
+        put = lambda b: b  # noqa: E731
+
+    def write_scene(scene, out, i, host_batch):
+        """Write the reference-format artifacts for batch element i
+        (per-scene fault isolation like ray_marching.py:503-519)."""
         try:
-            tsdf_vol = out["tsdf"]["scene_tsdf_004"][0]
-            offset = np.asarray(batch["offset"][0]).reshape(1, 3)
-            tsdf = TSDF(voxel_size, offset, tsdf_vol)
+            tsdf_vol = out["tsdf"]["scene_tsdf_004"][i]
+            offset = np.asarray(host_batch["offset"][i]).reshape(1, 3)
+            tsdf = TSDF(model.voxel_size, offset, tsdf_vol)
             scene_dir = os.path.join(save_path, scene)
             os.makedirs(scene_dir, exist_ok=True)
             tsdf.save(os.path.join(scene_dir, scene + ".npz"))
@@ -124,16 +157,16 @@ def main():
             write_ply_mesh(os.path.join(scene_dir, scene + ".ply"),
                            verts, faces, vertex_normals=normals)
             if "bboxes" in out:
-                valid = out["bbox_valid"][0]
+                valid = out["bbox_valid"][i]
                 np.savez(os.path.join(scene_dir,
                                       scene + "_bbox_raw.npz"),
-                         bboxes=out["bboxes"][0][valid],
-                         scores=out["scores"][0][valid])
+                         bboxes=out["bboxes"][i][valid],
+                         scores=out["scores"][i][valid])
             if middle_path and "points" in out:
                 pts = out["points"]
-                pvalid = pts.valid[0]
+                pvalid = pts.valid[i]
                 vert = np.concatenate(
-                    [pts.xyz[0][pvalid], pts.feats[0][pvalid]], axis=1)
+                    [pts.xyz[i][pvalid], pts.feats[i][pvalid]], axis=1)
                 np.save(os.path.join(middle_path, scene + "_vert.npy"),
                         vert.astype(np.float32))
                 if middle_viz:
@@ -143,14 +176,33 @@ def main():
                         os.path.join(middle_viz, scene,
                                      scene + "_points.ply"),
                         vert[:, :3])
-        except Exception as e:               # per-scene fault isolation,
-            print(f"{scene} is invalid! ({e})")   # like ray_marching.py:517
-        n_done += 1
-        dt = time.time() - t0
-        print(f"[{n_done}] {scene}  ({dt / n_done:.2f}s/scene)",
-              flush=True)
-        if args.max_scenes and n_done >= args.max_scenes:
-            break
+        except Exception as e:
+            print(f"{scene} is invalid! ({e})")
+
+    t0 = time.time()
+    n_done = 0
+    for batch in loader:
+        scenes = list(batch["scene"])
+        n_real = len(scenes)
+        # per-scene subsample seed = global scene index (shuffle=False):
+        # makes sharded and sequential runs draw identical subsamples
+        batch["scene_seed"] = np.arange(n_done, n_done + n_real,
+                                        dtype=np.int32)
+        db = device_batch(batch)
+        if n_dev > 1 and n_real < n_dev:      # pad the ragged last batch
+            pad = n_dev - n_real
+            db = jax.tree_util.tree_map(
+                lambda a: np.concatenate(
+                    [np.asarray(a)] + [np.asarray(a[-1:])] * pad), db)
+        out = jax.device_get(forward(put(db)))
+        for i, scene in enumerate(scenes):
+            write_scene(scene, out, i, batch)
+            n_done += 1
+            dt = time.time() - t0
+            print(f"[{n_done}] {scene}  ({dt / n_done:.2f}s/scene)",
+                  flush=True)
+            if args.max_scenes and n_done >= args.max_scenes:
+                return
 
 
 if __name__ == "__main__":

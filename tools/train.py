@@ -136,6 +136,7 @@ def main():
     # epochs and keep the best-val-loss checkpoint
     val_loader, eval_interval = None, 1
     eval_cfg = cfg.get("evaluation", {}) or {}
+    eval_metric = str(eval_cfg.get("metric", "loss"))
     if eval_cfg and cfg.get("data", {}).get("val"):
         try:
             val_dataset = build_dataset(cfg, "val", seed=args.seed)
@@ -158,7 +159,8 @@ def main():
         checkpoint_interval=int(cfg.get("checkpoint_config", {}).get(
             "interval", 10)),
         mesh=mesh, start_epoch=start_epoch, max_steps=args.max_steps,
-        val_loader=val_loader, eval_interval=eval_interval)
+        val_loader=val_loader, eval_interval=eval_interval,
+        eval_metric=eval_metric)
 
 
 if __name__ == "__main__":
