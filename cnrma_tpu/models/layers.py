@@ -173,10 +173,36 @@ def upsample_nearest(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     return x
 
 
+def _up2_linear_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Half-pixel ×2 linear upsample along one axis: out[2i] =
+    .75·x[i] + .25·x[i-1], out[2i+1] = .75·x[i] + .25·x[i+1], edges
+    clamped — the exact jax.image.resize('linear') ×2 kernel, built
+    from shifted adds instead of its dense dot_general (whose backward
+    materializes badly tile-padded 6-D temps on TPU; the shift form cut
+    the medium train step's peak HBM by 1.7 GB, 19.69G→17.98G)."""
+    n = x.shape[axis]
+    lo = jnp.concatenate([jax.lax.slice_in_dim(x, 0, 1, axis=axis),
+                          jax.lax.slice_in_dim(x, 0, n - 1, axis=axis)],
+                         axis=axis)
+    hi = jnp.concatenate([jax.lax.slice_in_dim(x, 1, n, axis=axis),
+                          jax.lax.slice_in_dim(x, n - 1, n, axis=axis)],
+                         axis=axis)
+    out = jnp.stack([0.75 * x + 0.25 * lo, 0.75 * x + 0.25 * hi],
+                    axis=axis + 1)
+    shp = list(x.shape)
+    shp[axis] *= 2
+    return out.reshape(shp)
+
+
 def upsample_linear(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     """Bi/tri-linear ×factor upsample with half-pixel centers
     (torch align_corners=False) over all spatial axes of
-    [B, *spatial, C]."""
+    [B, *spatial, C].  factor 2 uses the shift-based kernel (matches
+    jax.image.resize within fp32 rounding, ~4e-7; far cheaper backward)."""
+    if factor == 2:
+        for axis in range(1, x.ndim - 1):
+            x = _up2_linear_axis(x, axis)
+        return x
     spatial = x.shape[1:-1]
     new = tuple(s * factor for s in spatial)
     return jax.image.resize(x, (x.shape[0],) + new + (x.shape[-1],),

@@ -122,6 +122,7 @@ class UNet3D(nn.Module):
             y = relu(y)
             x = (x + y) / 2
             for b in range(self.layers_up[i - 1]):
-                x = block(rev[i], name=f"up{i}_block{b}")(x, train)
+                x = block(rev[i], compute_dtype=self.compute_dtype,
+                          name=f"up{i}_block{b}")(x, train)
             outs.append(x)
         return tuple(outs)

@@ -38,6 +38,32 @@ class Test2DTower:
                                       np.asarray(stem_new["mean"]))
 
 
+class TestUpsampleLinear:
+    def test_shift_kernel_matches_resize(self):
+        # factor-2 path is the shift-based kernel (layers.py:_up2_linear_axis,
+        # shipped for its cheaper backward); must equal
+        # jax.image.resize('linear') half-pixel semantics bit-for-fp32.
+        from cnrma_tpu.models.layers import upsample_linear
+        rng = np.random.RandomState(0)
+        for shape in [(1, 5, 7, 3), (2, 4, 6, 8, 5), (1, 1, 1, 1, 2)]:
+            x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+            got = upsample_linear(x, 2)
+            new = tuple(s * 2 for s in shape[1:-1])
+            want = jax.image.resize(
+                x, (shape[0],) + new + (shape[-1],), "linear")
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-5)
+
+    def test_grad_matches_resize(self):
+        from cnrma_tpu.models.layers import upsample_linear
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 6, 4, 3))
+        g1 = jax.grad(lambda v: jnp.sum(jnp.sin(upsample_linear(v, 2))))(x)
+        g2 = jax.grad(lambda v: jnp.sum(jnp.sin(jax.image.resize(
+            v, (1, 8, 12, 8, 3), "linear"))))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=1e-5)
+
+
 class TestUNet3D:
     def test_multiscale_outputs(self):
         model = UNet3D(channels=(8, 16, 32, 64), layers_down=(1, 1, 1, 1),
