@@ -142,6 +142,10 @@ def build_bench(scale: str, batch: int = 1):
         **(dict(bp_rect_h=int(os.environ["BENCH_RECT"].split("x")[0]),
                 bp_rect_w=int(os.environ["BENCH_RECT"].split("x")[1]))
            if os.environ.get("BENCH_RECT") else {}),
+        # A/B knob for the rect path's overflow row-gather capacity
+        # (fraction of tiles whose footprint exceeds the rect)
+        **(dict(bp_overflow_frac=float(os.environ["BENCH_OVERFLOW_FRAC"]))
+           if os.environ.get("BENCH_OVERFLOW_FRAC") else {}),
         # A/B knob for the coarse-march stride of empty-space skipping
         # (ops/ray_marching.py build_occupancy: the dilated band is >= 3
         # coarse cells = 24 fine voxels thick, so steps <= 8+round-error

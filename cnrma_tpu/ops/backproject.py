@@ -508,17 +508,27 @@ _accum_core_tiled.defvjp(_accum_core_tiled_fwd, _accum_core_tiled_bwd)
 # but accumulation casts through the feature dtype like the other paths).
 
 
-def _rect_select(px, py, valid, rh, rw, k_rect, k_over):
+def _rect_select(px, py, valid, rh, rw, k_rect, k_over, ax=1, ay=1):
     """Per-view tile classification + top-k selection.
 
     Returns (tids_r [K1], sel_r [K1], tids_o [K2], sel_o [K2], rx0, ry0)
     where sel_* masks the slots actually backed by a qualifying tile.
+
+    ``ax``/``ay`` snap the rect start down to an alignment lattice (the
+    Pallas gather needs x-starts on the 16-lattice and y-starts on the
+    4-lattice); the fits test uses the SNAPPED start so every pixel of
+    a fits tile is provably inside the aligned rect.  ax=ay=1 is the
+    exact pre-existing behavior.
     """
     big = jnp.int32(1 << 20)
     pxm = jnp.min(jnp.where(valid, px, big), axis=1)
     pxM = jnp.max(jnp.where(valid, px, -1), axis=1)
     pym = jnp.min(jnp.where(valid, py, big), axis=1)
     pyM = jnp.max(jnp.where(valid, py, -1), axis=1)
+    if ax > 1:
+        pxm = (pxm // ax) * ax
+    if ay > 1:
+        pym = (pym // ay) * ay
     has = valid.any(axis=1)
     fits = has & (pxM - pxm < rw) & (pyM - pym < rh)
     score = valid.sum(axis=1, dtype=jnp.int32)
@@ -532,6 +542,59 @@ def _rect_select(px, py, valid, rh, rw, k_rect, k_over):
 
 
 _RECT_CHUNK = 256   # tiles per one-hot matmul step (bounds the operand)
+
+
+def _bp_pallas_decision(H, W, C, rh, rw, k1, t3):
+    """(use_pallas, interpret) for the rect gather at these shapes.
+
+    ``CNRMA_BP_PALLAS``: ``auto`` (default — on when the default JAX
+    backend is a real TPU and the shapes are eligible), ``1`` (force,
+    e.g. to compile-check), ``interpret`` (run the kernel in interpret
+    mode — CPU parity tests), ``0`` (never).
+    """
+    import os
+
+    mode = os.environ.get("CNRMA_BP_PALLAS", "auto").lower()
+    if mode in ("0", "off", "false"):
+        return False, False
+    from . import pallas_bp
+    if not pallas_bp.rect_gather_eligible(H, W, C, rh, rw, k1, t3):
+        return False, False
+    if mode == "interpret":
+        return True, True
+    if mode in ("1", "on", "true"):
+        return True, False
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend probe never raises
+        on_tpu = False
+    return on_tpu, False
+
+
+def _rect_gather_rows_pallas(feat, px, py, valid, tids_r, sel_r, pxm, pym,
+                             rh, rw, t3, accum_dtype, interpret):
+    """Pallas-kernel variant of ``_rect_gather_rows``.
+
+    Requires ``pxm``/``pym`` from ``_rect_select(..., ax=16, ay=4)`` so
+    the clipped rect starts stay on the alignment lattice (eligibility
+    guarantees (W - rw) % 16 == 0 and (H - rh) % 4 == 0).  The local
+    pixel code is computed from the SAME px/py as selection/backward,
+    so the kernel can never disagree with them on a pixel.
+    """
+    from . import pallas_bp
+
+    H, W, C = feat.shape
+    ry0 = jnp.clip(jnp.take(pym, tids_r), 0, H - rh)
+    rx0 = jnp.clip(jnp.take(pxm, tids_r), 0, W - rw)
+    lx = jnp.take(px, tids_r, axis=0) - rx0[:, None]
+    ly = jnp.take(py, tids_r, axis=0) - ry0[:, None]
+    inside = ((lx >= 0) & (lx < rw) & (ly >= 0) & (ly < rh)
+              & jnp.take(valid, tids_r, axis=0) & sel_r[:, None])
+    invalid = (rh // 4) * rw * 4     # quarter-row position rp -> no match
+    code = jnp.where(inside, (((ly >> 2) * rw + lx) << 2) | (ly & 3),
+                     invalid)
+    return pallas_bp.rect_gather(feat, ry0, rx0, code, rh, rw,
+                                 accum_dtype, interpret=interpret)
 
 
 def _rect_caps(n_tiles: int, k_rect: int, k_over: int) -> Tuple[int, int]:
@@ -602,6 +665,8 @@ def _accum_impl_rect(voxel_dim, voxel_size, tile, rect_hw, k_rect, k_over,
     V, H, W, C = features.shape
     rh, rw = min(rh, H), min(rw, W)
     K1, K2 = _rect_caps(n_tiles, k_rect, k_over)
+    use_pl, pl_interp = _bp_pallas_decision(H, W, C, rh, rw, K1, t3)
+    ax, ay = (16, 4) if use_pl else (1, 1)
 
     def body(carry, inp):
         vol_acc, cnt_acc = carry
@@ -609,9 +674,15 @@ def _accum_impl_rect(voxel_dim, voxel_size, tile, rect_hw, k_rect, k_over,
         px, py, valid = _project_pixels_tiled(
             p, voxel_dim, t, voxel_size, origin, H, W)
         tids_r, sel_r, tids_o, sel_o, pxm, pym = _rect_select(
-            px, py, valid, rh, rw, K1, K2)
-        rows_r = _rect_gather_rows(feat, px, py, valid, tids_r, sel_r,
-                                   pxm, pym, rh, rw, t3, accum_dtype)
+            px, py, valid, rh, rw, K1, K2, ax, ay)
+        if use_pl:
+            rows_r = _rect_gather_rows_pallas(
+                feat, px, py, valid, tids_r, sel_r, pxm, pym, rh, rw,
+                t3, accum_dtype, pl_interp)
+        else:
+            rows_r = _rect_gather_rows(feat, px, py, valid, tids_r,
+                                       sel_r, pxm, pym, rh, rw, t3,
+                                       accum_dtype)
         # overflow tiles: the tiled path's per-voxel row gather
         idx_o = (jnp.take(py, tids_o, axis=0) * W
                  + jnp.take(px, tids_o, axis=0))              # [K2, t3]
@@ -692,6 +763,10 @@ def _accum_core_rect_bwd(voxel_dim, voxel_size, tile, rect_hw, k_rect,
     rh, rw = rect_hw
     rh, rw = min(rh, H), min(rw, W)
     K1, K2 = _rect_caps(n_tiles, k_rect, k_over)
+    # The SAME alignment decision as the forward: the fits/keep masks
+    # must match the kept set exactly (same env, same static shapes).
+    use_pl, _pl_interp = _bp_pallas_decision(H, W, C, rh, rw, K1, t3)
+    ax, ay = (16, 4) if use_pl else (1, 1)
     g_tiles = (g_vol.reshape(nx, t, ny, t, nz, t, C)
                .transpose(0, 2, 4, 1, 3, 5, 6)
                .reshape(n_tiles, t3, C).astype(accum_dtype))
@@ -702,7 +777,7 @@ def _accum_core_rect_bwd(voxel_dim, voxel_size, tile, rect_hw, k_rect,
         px, py, valid = _project_pixels_tiled(
             p, voxel_dim, t, voxel_size, origin, H, W)
         tids_r, sel_r, tids_o, sel_o, pxm, pym = _rect_select(
-            px, py, valid, rh, rw, K1, K2)
+            px, py, valid, rh, rw, K1, K2, ax, ay)
         ry0 = jnp.clip(jnp.take(pym, tids_r), 0, H - rh)
         rx0 = jnp.clip(jnp.take(pxm, tids_r), 0, W - rw)
         lx = jnp.take(px, tids_r, axis=0) - rx0[:, None]

@@ -189,6 +189,62 @@ class TestBackproject:
         np.testing.assert_allclose(np.asarray(g_rect),
                                    np.asarray(g_dense), atol=1e-5)
 
+    def test_rect_pallas_matches_dense(self, monkeypatch):
+        """The Pallas rect gather (interpret mode on CPU) must reproduce
+        the dense path exactly — forward AND gradients — including the
+        aligned-start reclassification (snap-down can flip a borderline
+        tile to the overflow row-gather path; both paths are exact)."""
+        monkeypatch.setenv("CNRMA_BP_PALLAS", "interpret")
+        rng = np.random.RandomState(5)
+        V, H, W, C = 2, 16, 32, 32        # eligible: C=32, H%4, W%16
+        dim = (16, 16, 8)                 # 4 tiles of 8^3 -> t3=512
+        feats = jnp.asarray(rng.rand(V, H, W, C).astype(np.float32))
+        proj = simple_projection()
+        projs = np.stack([proj] * V).astype(np.float32)
+        projs[1, :2, 3] += 1.0
+        projs = jnp.asarray(projs)
+        valid = jnp.array([True, True])
+        origin = jnp.array([-1.9, -0.1, 0.1])
+        args = (projs, feats, valid, dim, 0.25, origin)
+
+        dense = accumulate_views(*args)
+        for rect in ((16, 32),    # most tiles fit the aligned rect
+                     (4, 16)):    # most overflow to the row gather
+            got = accumulate_views(*args, tile=8, tile_capacity=4,
+                                   rect=rect, rect_capacity=4)
+            np.testing.assert_allclose(np.asarray(got[0]),
+                                       np.asarray(dense[0]), atol=1e-6,
+                                       err_msg=str(rect))
+            np.testing.assert_array_equal(np.asarray(got[1]),
+                                          np.asarray(dense[1]))
+
+        def loss(fn):
+            def f(feats_):
+                vol, _ = fn(projs, feats_, valid, dim, 0.25, origin)
+                return jnp.sum(vol * vol) + jnp.sum(vol)
+            return jax.grad(f)(feats)
+        g_dense = loss(lambda *a: accumulate_views(*a))
+        g_pl = loss(lambda *a: accumulate_views(
+            *a, tile=8, tile_capacity=4, rect=(16, 32), rect_capacity=4))
+        np.testing.assert_allclose(np.asarray(g_pl),
+                                   np.asarray(g_dense), atol=1e-5)
+
+    def test_rect_pallas_ineligible_shapes_fall_back(self, monkeypatch):
+        """Shapes the kernel can't take (C != 32 here) silently use the
+        XLA rect path even when the knob forces Pallas on."""
+        monkeypatch.setenv("CNRMA_BP_PALLAS", "interpret")
+        rng = np.random.RandomState(3)
+        feats = jnp.asarray(rng.rand(1, 16, 32, 4).astype(np.float32))
+        projs = jnp.asarray(simple_projection()[None])
+        valid = jnp.array([True])
+        origin = jnp.array([-1.9, -0.1, 0.1])
+        args = (projs, feats, valid, (16, 16, 8), 0.25, origin)
+        dense = accumulate_views(*args)
+        got = accumulate_views(*args, tile=8, tile_capacity=4,
+                               rect=(16, 32), rect_capacity=4)
+        np.testing.assert_allclose(np.asarray(got[0]),
+                                   np.asarray(dense[0]), atol=1e-6)
+
     def test_tiled_overflow_keeps_fullest_tiles(self):
         """Over capacity, the fullest tiles win and dropped tiles lose
         only that view's contribution (count stays consistent with the

@@ -54,6 +54,18 @@ EXPERIMENTS = {
                 "CNRMA_DERIVED_KMAPS": "1",
                 "BENCH_RAY_COARSE": "8",
                 "BENCH_ACCUM_DTYPE": "bfloat16"},
+    # Pallas rect gather (ops/pallas_bp.py): BENCH_RECT shapes that are
+    # kernel-eligible auto-route to the Pallas path on TPU.  Kernel
+    # microbench (tools/pallas_bp_probe.py): 5.4-8.6 ms/view vs 12.7 ms
+    # XLA row gather at the full rung, cheaper at smaller rects — but
+    # smaller rects push more near-camera tiles to the overflow row
+    # gather, so the sweep varies both rect size and overflow capacity.
+    "plrect32x32": {"BENCH_RECT": "32x32"},
+    "plrect32x48": {"BENCH_RECT": "32x48"},
+    "plrect48x48": {"BENCH_RECT": "48x48"},
+    "plrect64x64": {"BENCH_RECT": "64x64"},
+    "plrect48x48of10": {"BENCH_RECT": "48x48",
+                        "BENCH_OVERFLOW_FRAC": "0.10"},
 }
 
 _LINE = re.compile(r"^(\d_\w+): .* ([0-9.]+)ms/call")
