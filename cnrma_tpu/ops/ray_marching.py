@@ -115,11 +115,38 @@ def _select_topk(weights: jnp.ndarray, capacity: int) -> jnp.ndarray:
     when over capacity the *highest-weight* samples survive, instead of a
     raster-order prefix that would silently drop everything below a
     horizontal image line.
+
+    The under-capacity case (every probed view at the shipping cap 98304,
+    ``tools/raycap_probe.py``) is the SAME SET either way, so it runs as a
+    cumsum compaction — one int32 scatter instead of ``lax.top_k``'s full
+    sort of ``n`` keys, which dominated the cap-98304 ray-march cost.  The
+    overflow branch keeps the exact weight-ranked semantics under a
+    ``lax.cond`` (only the taken branch executes on TPU; slot ORDER differs
+    between the branches, which nothing downstream observes — weights are
+    globally mean-normalized and the subsample draw is slot-independent).
     """
     n = weights.shape[0]
     k = min(capacity, n)
-    vals, idx = jax.lax.top_k(weights, k)
-    sel = jnp.where(vals > 0, idx, -1).astype(jnp.int32)
+
+    def ranked(_):
+        vals, idx = jax.lax.top_k(weights, k)
+        return jnp.where(vals > 0, idx, -1).astype(jnp.int32)
+
+    def compact(_):
+        keep = weights > 0
+        pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        # out-of-range positions (dropped or beyond k) scatter to slot k,
+        # outside the buffer -> mode='drop'
+        pos = jnp.where(keep, pos, k)
+        buf = jnp.full((k,), -1, jnp.int32)
+        return buf.at[pos].set(jnp.arange(n, dtype=jnp.int32),
+                               mode="drop")
+
+    if k == n:          # capacity covers every sample: compaction is total
+        sel = compact(None)
+    else:
+        count = jnp.sum((weights > 0).astype(jnp.int32))
+        sel = jax.lax.cond(count <= k, compact, ranked, None)
     if k < capacity:
         sel = jnp.concatenate(
             [sel, jnp.full((capacity - k,), -1, jnp.int32)])
