@@ -124,6 +124,19 @@ def _select_topk(weights: jnp.ndarray, capacity: int) -> jnp.ndarray:
     ``lax.cond`` (only the taken branch executes on TPU; slot ORDER differs
     between the branches, which nothing downstream observes — weights are
     globally mean-normalized and the subsample draw is slot-independent).
+
+    Caveats:
+    * Under ``jax.vmap`` (``utils/batching.py:vmap_batch_mode``) the
+      ``lax.cond`` lowers to a select that executes BOTH branches, so the
+      batched trace pays for the top_k AND the cumsum/scatter — slightly
+      slower than the old unconditional top_k.  The performance-critical
+      paths (single-scene inference, the shard_map trainer with one scene
+      per device) never trace batched, so the cond stays.
+    * Compact slots come back in raster order, not weight-ranked order:
+      which concrete points the downstream fixed-seed per-slot subsample
+      (``cn_rma.py:ray_march``) draws changed when this landed (round 4) —
+      distributionally identical, but point-cloud outputs are not
+      bit-comparable with pre-round-4 golden outputs.
     """
     n = weights.shape[0]
     k = min(capacity, n)

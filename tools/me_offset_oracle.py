@@ -78,6 +78,85 @@ def me_generative_transpose_children(coords: np.ndarray,
     return coords[:, None, :] + offs[None, :, :]
 
 
+def region_offsets_order(kernel_size: int, order: str,
+                         dilation: int = 1, ndim: int = 3) -> np.ndarray:
+    """Offsets under either published enumeration.
+
+    'xyz' = first coordinate fastest (ME RegionIterator, the oracle
+    above); 'zyx' = last coordinate fastest (the spconv-style layout
+    some converters emit — exactly the grid transpose
+    ``--me-offset-order zyx`` undoes).
+    """
+    if order == "xyz":
+        return me_region_offsets(kernel_size, dilation, ndim)
+    k = kernel_size
+    xyz = me_region_offsets(k, dilation, ndim)
+    return xyz.reshape((k,) * ndim + (ndim,)).transpose(
+        tuple(range(ndim - 1, -1, -1)) + (ndim,)).reshape(-1, ndim)
+
+
+def me_sparse_conv_np(coords: np.ndarray, feats: np.ndarray,
+                      kernel: np.ndarray, tensor_stride: int = 1,
+                      conv_stride: int = 1, order: str = "xyz") -> dict:
+    """Numpy oracle of ME ``MinkowskiConvolution`` forward.
+
+    The ground truth the converter test diffs against: a dict-based
+    re-statement of ME's conv semantics (``fcaf3d_backbone.py:25-48``
+    usage) with NO shared code with ``ops.sparse`` —
+
+    * output coordinates: the input set itself when ``conv_stride == 1``
+      (submanifold), else ``unique(c // s' * s')`` at the new tensor
+      stride ``s' = tensor_stride * conv_stride``;
+    * out[o] = sum_k feats[row at o + offs[k]] @ kernel[k], offsets in
+      INPUT tensor-stride units, row k enumerated per ``order``.
+
+    coords: [N, 3] int, multiples of ``tensor_stride``; kernel:
+    [K, Cin, Cout] raw torch/ME layout.  Returns {coord tuple: [Cout]}.
+    """
+    K = kernel.shape[0]
+    ks = round(K ** (1 / 3)) if K > 1 else 1
+    assert ks ** 3 == K
+    offs = region_offsets_order(ks, order) * tensor_stride
+    table = {tuple(c): i for i, c in enumerate(coords.tolist())}
+    s_out = tensor_stride * conv_stride
+    if conv_stride == 1:
+        out_coords = [tuple(c) for c in coords.tolist()]
+    else:
+        out_coords = sorted({
+            tuple((np.asarray(c) // s_out * s_out).tolist())
+            for c in coords.tolist()})
+    out = {}
+    for oc in out_coords:
+        acc = np.zeros((kernel.shape[2],), np.float64)
+        for k in range(K):
+            i = table.get(tuple(np.asarray(oc) + offs[k]))
+            if i is not None:
+                acc = acc + feats[i].astype(np.float64) @ \
+                    kernel[k].astype(np.float64)
+        out[oc] = acc
+    return out
+
+
+def me_generative_transpose_np(coords: np.ndarray, feats: np.ndarray,
+                               kernel: np.ndarray, tensor_stride: int,
+                               order: str = "xyz") -> dict:
+    """Numpy oracle of ``MinkowskiGenerativeConvolutionTranspose`` k2 s2
+    (``fcaf3d_head.py:72-78``): every input emits its 8 stride/2
+    children; child j of parent c sits at ``c + offs[j] * stride//2``
+    and carries ``feats @ kernel[j]`` (children of distinct parents are
+    distinct, so no accumulation).  kernel: [8, Cin, Cout] raw layout,
+    row order per ``order``.  Returns {coord tuple: [Cout]}."""
+    offs = region_offsets_order(2, order) * (tensor_stride // 2)
+    out = {}
+    for i, c in enumerate(coords.tolist()):
+        for j in range(8):
+            oc = tuple(np.asarray(c) + offs[j])
+            assert oc not in out, "children must be unique"
+            out[oc] = feats[i].astype(np.float64) @ \
+                kernel[j].astype(np.float64)
+    return out
+
+
 def self_check() -> None:
     """Pin the framework's enumerations to the oracle."""
     from cnrma_tpu.ops.sparse import kernel_offsets
