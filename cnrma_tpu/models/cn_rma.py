@@ -131,6 +131,43 @@ def feature_transform_aug(rng: jax.Array, points: jnp.ndarray,
     return pts, boxes
 
 
+def _normalize_subsample(flat: RayMarchPoints, rng_b: jax.Array,
+                         max_points: int):
+    """Mean-normalize weights over all collected samples and draw an
+    exact without-replacement random subsample of the valid points
+    (reference ``switch_pointcloud`` + ``sample_points``,
+    ``ray_marching.py:297-307``, ``fcaf3d_transforms.py:283-296``)."""
+    from cnrma_tpu.utils.capacity_debug import report as _cap_report
+    n_flat = flat.weight.shape[0]
+    valid = flat.weight > 0
+    n_valid = jnp.sum(valid.astype(jnp.float32))
+    _cap_report("scene points before max_points subsample",
+                n_valid, max_points)
+    mean_w = (jnp.sum(flat.weight)
+              / jnp.maximum(n_valid, 1.0))
+    weights = flat.weight / jnp.maximum(mean_w, 1e-12)
+    r = jax.random.uniform(rng_b, (n_flat,))
+    order = jnp.argsort(jnp.where(valid, r, jnp.inf))
+    sel = order[:max_points]
+    return (jnp.take(flat.xyz, sel, axis=0),
+            jnp.take(weights, sel),
+            jnp.take(flat.uv, sel, axis=0),
+            jnp.take(flat.view, sel),
+            jnp.take(valid, sel))
+
+
+def _gather_point_feats(f_b: jnp.ndarray, uv_b: jnp.ndarray,
+                        view_b: jnp.ndarray, valid_b: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """Per-point pixel-feature fetch from the [V, h, w, C] feature maps."""
+    v, h, w, c = f_b.shape
+    vi = jnp.clip(view_b, 0, v - 1)
+    flat_idx = (vi * h + jnp.clip(uv_b[:, 1], 0, h - 1)) * w \
+        + jnp.clip(uv_b[:, 0], 0, w - 1)
+    g = jnp.take(f_b.reshape(v * h * w, c), flat_idx, axis=0)
+    return jnp.where(valid_b[:, None], g, 0.0)
+
+
 class CNRMA(nn.Module):
     """The combined detector (reference ``RayMarching``).
 
@@ -273,12 +310,9 @@ class CNRMA(nn.Module):
         feats = self.tower2d(x, train=train)
         return feats.reshape((b, v) + feats.shape[1:])
 
-    def build_volume(self, feats: jnp.ndarray, projections: jnp.ndarray,
-                     view_valid: jnp.ndarray
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Scaled-projection back-projection + mean accumulation."""
-        proj = projections.at[..., :2, :].divide(self.backbone2d_stride)
-        origin = jnp.asarray(self.origin, jnp.float32)
+    def _bp_knobs(self) -> Tuple[int, int, Tuple[int, int], int]:
+        """(tile, tile_capacity, rect, rect_capacity) accumulation knobs
+        from the model config (tile culling + rect gather gating)."""
         tile, tile_cap = 0, 0
         if self.bp_tile > 0 and all(d % self.bp_tile == 0
                                     for d in self.voxel_dim):
@@ -297,6 +331,15 @@ class CNRMA(nn.Module):
             rect_cap = max(1, int(round(self.bp_rect_frac * n_tiles)))
             # tile_capacity becomes the (small) overflow row-gather cap
             tile_cap = max(1, int(round(self.bp_overflow_frac * n_tiles)))
+        return tile, tile_cap, rect, rect_cap
+
+    def build_volume(self, feats: jnp.ndarray, projections: jnp.ndarray,
+                     view_valid: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Scaled-projection back-projection + mean accumulation."""
+        proj = projections.at[..., :2, :].divide(self.backbone2d_stride)
+        origin = jnp.asarray(self.origin, jnp.float32)
+        tile, tile_cap, rect, rect_cap = self._bp_knobs()
         if self.view_mesh is not None:
             from cnrma_tpu.ops.backproject import (
                 accumulate_views_view_sharded)
@@ -427,21 +470,7 @@ class CNRMA(nn.Module):
                 n_flat = v * self.rays_per_view_cap
             flat = jax.tree_util.tree_map(
                 lambda a: a.reshape((n_flat,) + a.shape[2:]), per)
-            valid = flat.weight > 0
-            # normalize weights by the mean over all collected samples
-            mean_w = (jnp.sum(flat.weight)
-                      / jnp.maximum(jnp.sum(valid.astype(jnp.float32)),
-                                    1.0))
-            weights = flat.weight / jnp.maximum(mean_w, 1e-12)
-            # random subsample of valid points to max_points
-            r = jax.random.uniform(rng_b, (n_flat,))
-            order = jnp.argsort(jnp.where(valid, r, jnp.inf))
-            sel = order[:self.max_points]
-            return (jnp.take(flat.xyz, sel, axis=0),
-                    jnp.take(weights, sel),
-                    jnp.take(flat.uv, sel, axis=0),
-                    jnp.take(flat.view, sel),
-                    jnp.take(valid, sel))
+            return _normalize_subsample(flat, rng_b, self.max_points)
 
         rngs = (jax.vmap(lambda s: jax.random.fold_in(rng, s))(scene_seed)
                 if scene_seed is not None else jax.random.split(rng, b))
@@ -449,14 +478,7 @@ class CNRMA(nn.Module):
             scene, proj, tsdf, view_valid, rngs)
 
         # gather pixel features for surviving points only
-        def gather_feats(f_b, uv_b, view_b, valid_b):
-            vi = jnp.clip(view_b, 0, v - 1)
-            flat_idx = (vi * h + jnp.clip(uv_b[:, 1], 0, h - 1)) * w \
-                + jnp.clip(uv_b[:, 0], 0, w - 1)
-            g = jnp.take(f_b.reshape(v * h * w, c), flat_idx, axis=0)
-            return jnp.where(valid_b[:, None], g, 0.0)
-
-        pf = batch_map(gather_feats, feats, uv, view, valid)
+        pf = batch_map(_gather_point_feats, feats, uv, view, valid)
         pf = pf * wts[..., None]
         return RayPoints(xyz=xyz, feats=pf, valid=valid)
 
@@ -519,6 +541,192 @@ class CNRMA(nn.Module):
         if not train:
             bboxes, scores, bvalid = self.detector.get_bboxes(level_outs)
             out.update(bboxes=bboxes, scores=scores, bbox_valid=bvalid)
+        out["losses"] = losses
+        return out
+
+    # ------------------------------------------------------------------
+    def forward_view_sharded(self, batch: Dict[str, jnp.ndarray],
+                             view_axis: str = "view") -> Dict[str, Any]:
+        """Train-mode forward of ONE scene split across a ``view`` mesh
+        axis — the intra-scene sharding that makes the reference's
+        stage-3 finetune workload (192x192x80 / 40 views per scene,
+        ``ray_marching_scannet.py:12-19,77``) fit devices it cannot fit
+        alone (doc/performance.md "Training throughput").
+
+        Runs as the per-device body of a ``('data', 'view')`` shard_map
+        (``train/loop.py:make_train_step(view_axis=...)``).  Sharding
+        layout, stage by stage:
+
+        * 2D tower: each device runs its ``V/n`` view shard; BatchNorm
+          statistics sync with pmean (``shard_ctx.bn_sync_axis``) so they
+          equal the reference's joint-view BN (``ray_marching.py:419-426``);
+        * volume: per-shard partial (volume, count) sums + one ``psum``
+          — the commutative-accumulator view parallelism of SURVEY §5;
+        * 3D U-Net + TSDF head: X-axis slab per device with 1-voxel halo
+          exchanges per conv (``shard_ctx.halo_axis``); the three TSDF
+          scales re-assemble with tiled ``all_gather``;
+        * ray marching: each device marches its own views against the
+          (replicated) predicted TSDF; the fixed-capacity per-view
+          buffers re-assemble with ``all_gather``;
+        * subsample + augmentation + sparse detection: replicated — every
+          device of the view row computes them identically (same rng).
+
+        Losses come back as GLOBAL values, identical on every device of
+        the view row; per-device gradients assemble into the exact full
+        gradient with ``pmean`` over ``view_axis`` (sharded modules
+        contribute n-scaled partials through the collective transposes,
+        replicated modules n identical copies — both mean to the true
+        gradient).
+
+        Constraints (checked): local batch 1; ``V % n == 0`` (BN-exact
+        shards); ``X % n == 0`` and ``(X/n) % 8 == 0`` (slab starts stay
+        even through the three stride-2 levels).
+        """
+        n = jax.lax.axis_size(view_axis)
+        vix = jax.lax.axis_index(view_axis)
+        imgs = batch["imgs"]
+        projections = batch["projection"]
+        view_valid = batch.get("view_valid",
+                               jnp.ones(imgs.shape[:2], bool))
+        targets = batch.get("tsdf_list")
+        b, V = imgs.shape[:2]
+        X, Y, Z = self.voxel_dim
+        if b != 1:
+            raise ValueError("forward_view_sharded: per-device batch "
+                             f"must be 1 scene, got {b}")
+        if V % n:
+            raise ValueError(f"views ({V}) must divide the view axis "
+                             f"({n}) for joint-BN-exact sharding")
+        if X % n or (X // n) % 8:
+            raise ValueError(f"voxel X dim {X} must split into {n} slabs "
+                             "divisible by 8 (three stride-2 levels)")
+        from cnrma_tpu.models.tsdf_head import tsdf_losses
+        from cnrma_tpu.ops.backproject import (
+            _normalize_volume, accumulate_views_partial)
+        from cnrma_tpu.utils.shard_ctx import bn_sync_axis, halo_axis
+
+        # ---- 2D tower on this device's view shard --------------------
+        vs = V // n
+        sl = vix * vs
+        imgs_s = jax.lax.dynamic_slice_in_dim(imgs, sl, vs, axis=1)
+        proj_s = jax.lax.dynamic_slice_in_dim(projections, sl, vs, axis=1)
+        vv_s = jax.lax.dynamic_slice_in_dim(view_valid, sl, vs, axis=1)
+        with bn_sync_axis(view_axis):
+            feats_s = self.extract_2d(imgs_s, train=True)  # [1,vs,h,w,C]
+        h, w, c = feats_s.shape[2:]
+
+        # ---- volume: partial accumulate + psum -----------------------
+        origin = jnp.asarray(self.origin, jnp.float32)
+        proj_sc = proj_s.at[..., :2, :].divide(self.backbone2d_stride)
+        tile, tile_cap, rect, rect_cap = self._bp_knobs()
+        vol_p, cnt_p = accumulate_views_partial(
+            proj_sc[0], feats_s[0], vv_s[0], self.voxel_dim,
+            self.voxel_size, origin,
+            accum_dtype=jnp.dtype(self.bp_accum_dtype),
+            tile=tile, tile_capacity=tile_cap,
+            rect=rect, rect_capacity=rect_cap)
+        vol_sum = jax.lax.psum(vol_p, view_axis)
+        cnt = jax.lax.psum(cnt_p, view_axis)
+        volume, _ = _normalize_volume(vol_sum, cnt, feats_s.dtype)
+        volume = volume[None]                        # [1, X, Y, Z, C]
+
+        # ---- U-Net + TSDF head on this device's X slab ---------------
+        xs_slab = X // n
+        slab = jax.lax.dynamic_slice_in_dim(volume, vix * xs_slab,
+                                            xs_slab, axis=1)
+        with bn_sync_axis(view_axis), halo_axis(view_axis):
+            feats3d = self.backbone3d(slab, train=True)
+            tsdf_slab, _ = self.tsdf_head(feats3d, None)
+        tsdf_out = {k: jax.lax.all_gather(t, view_axis, axis=1,
+                                          tiled=True)
+                    for k, t in tsdf_slab.items()}
+        losses: Dict[str, jnp.ndarray] = {}
+        if targets is not None:
+            recon = tsdf_losses(tsdf_out, targets, self.tsdf_head.keys,
+                                self.tsdf_head.sparse_threshold)
+            losses = {k: val * self.loss_weight_recon
+                      for k, val in recon.items()}
+        out: Dict[str, Any] = {"tsdf": tsdf_out}
+        if not self.detection:
+            out["losses"] = losses
+            return out
+
+        # ---- ray march this device's views ---------------------------
+        rng = (self.make_rng("sample")
+               if self.has_rng("sample") else jax.random.PRNGKey(0))
+        scene_seed = batch.get("scene_seed")
+        rng_b = (jax.random.fold_in(rng, scene_seed[0])
+                 if scene_seed is not None
+                 else jax.random.split(rng, 1)[0])
+        fine_key = f"scene_tsdf_{self.tsdf_head.keys[-1]}"
+        tsdf_fine = jax.lax.stop_gradient(tsdf_out[fine_key][0])
+        use_skip = (self.ray_marching_type == "neus"
+                    and self.ray_skip_factor > 0
+                    and self.ray_samples > self.ray_skip_window
+                    and all(dim % self.ray_skip_factor == 0
+                            for dim in self.voxel_dim))
+        occ = (build_occupancy(tsdf_fine, self.ray_skip_factor)
+               if use_skip else None)
+        march = (partial(ray_march_neus,
+                         weight_threshold=self.neus_threshold,
+                         skip_factor=self.ray_skip_factor,
+                         skip_window=self.ray_skip_window,
+                         coarse_step=self.ray_skip_coarse_step)
+                 if self.ray_marching_type == "neus"
+                 else partial(ray_march_depth,
+                              depth_points=self.depth_points))
+
+        def per_view(pv):
+            p, idx = pv
+            extra = {"occupancy": occ} if use_skip else {}
+            pts = march(p, tsdf_fine, self.voxel_dim, self.voxel_size,
+                        origin, h, w, view_index=idx,
+                        n_samples=self.ray_samples,
+                        capacity=self.rays_per_view_cap, **extra)
+            ok = view_valid[0, jnp.minimum(idx, V - 1)] & (idx < V)
+            return RayMarchPoints(pts.xyz,
+                                  jnp.where(ok, pts.weight, 0.0),
+                                  pts.uv, pts.view)
+
+        per = jax.lax.map(per_view,
+                          (proj_sc[0], sl + jnp.arange(vs)))  # [vs,K,..]
+        per = jax.tree_util.tree_map(
+            lambda a: jax.lax.all_gather(a, view_axis, axis=0,
+                                         tiled=True), per)    # [V,K,..]
+        n_flat = V * self.rays_per_view_cap
+        flat = jax.tree_util.tree_map(
+            lambda a: a.reshape((n_flat,) + a.shape[2:]), per)
+
+        # ---- replicated tail: subsample, aug, detection --------------
+        xyz, wts, uv, view, valid = _normalize_subsample(
+            flat, rng_b, self.max_points)
+        feats_all = jax.lax.all_gather(feats_s, view_axis, axis=1,
+                                       tiled=True)            # [1,V,...]
+        pf = _gather_point_feats(feats_all[0], uv, view, valid)
+        pf = (pf * wts[:, None])[None]
+        xyz = xyz[None] + batch["offset"][:, None, :]
+        valid = valid[None]
+
+        gt_boxes = batch.get("gt_boxes")
+        gt_labels = batch.get("gt_labels")
+        gt_valid = batch.get("gt_valid")
+        if self.use_feature_transform:
+            aug_rng = (self.make_rng("aug")
+                       if self.has_rng("aug") else jax.random.PRNGKey(1))
+            ft_cfg = dict(self.feature_transform or {})
+            xyz1, gtb1 = feature_transform_aug(
+                jax.random.split(aug_rng, 1)[0], xyz[0], gt_boxes[0],
+                self.with_yaw, **ft_cfg)
+            xyz, gt_boxes = xyz1[None], gtb1[None]
+
+        level_outs = self.detector(xyz, pf, valid, train=True)
+        out["points"] = RayPoints(xyz=xyz, feats=pf, valid=valid)
+        if gt_boxes is not None:
+            det_losses = self.detector.loss(level_outs, gt_boxes,
+                                            gt_labels, gt_valid,
+                                            axis_name=self.pmean_axis)
+            for k, val in det_losses.items():
+                losses[k] = val * self.loss_weight_detection
         out["losses"] = losses
         return out
 

@@ -15,10 +15,26 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from cnrma_tpu.utils.shard_ctx import (
+    current_bn_sync_axis, current_halo_axis, halo_pad_x)
+
 
 def torch_padding(kernel_size: int) -> Sequence[Tuple[int, int]]:
     p = kernel_size // 2
     return [(p, p)]
+
+
+def sync_batch_stats(mean: jnp.ndarray, meansq: jnp.ndarray,
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Combine per-shard batch statistics over the active bn-sync axis.
+
+    Equal shard sizes (guaranteed by the view/slab padding in the
+    sharded train step) make the pmean of per-shard (mean, mean-of-
+    squares) exactly the joint-batch statistics."""
+    axis = current_bn_sync_axis()
+    if axis is None:
+        return mean, meansq
+    return jax.lax.pmean(mean, axis), jax.lax.pmean(meansq, axis)
 
 
 class BatchNorm(nn.Module):
@@ -57,7 +73,12 @@ class BatchNorm(nn.Module):
             else:
                 axes = tuple(range(x.ndim - 1))
                 mean = jnp.mean(xf, axis=axes)
-                var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+                meansq = jnp.mean(jnp.square(xf), axis=axes)
+                # joint statistics across a view/slab-sharded batch
+                # (shard_ctx.bn_sync_axis) — the reference's joint-BN
+                # semantics when a scene is split across devices
+                mean, meansq = sync_batch_stats(mean, meansq)
+                var = meansq - jnp.square(mean)
                 upd_mean, upd_var = mean, var
             if not self.is_initializing():
                 ra_mean.value = (self.momentum * ra_mean.value
@@ -153,6 +174,15 @@ class ConvBN(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         ndim = x.ndim - 2               # spatial dims
         pad = torch_padding(self.kernel_size) * ndim
+        halo = current_halo_axis() if ndim == 3 else None
+        if halo is not None and self.kernel_size == 3:
+            # X is slab-sharded: neighbors supply the padding (zeros at
+            # the global boundary), the conv runs VALID along X.  The
+            # stride-2 window placement stays exact: slab starts are
+            # even, so the first VALID window [x-1, x, x+1] is the same
+            # window the padded unsharded conv evaluates there.
+            x = halo_pad_x(x, halo, spatial_axis=1)
+            pad = [(0, 0)] + torch_padding(self.kernel_size) * (ndim - 1)
         x = nn.Conv(self.features, (self.kernel_size,) * ndim,
                     strides=(self.strides,) * ndim, padding=pad,
                     use_bias=self.use_bias, dtype=self.conv_dtype,
@@ -194,14 +224,39 @@ def _up2_linear_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return out.reshape(shp)
 
 
+def _up2_linear_axis_halo(x: jnp.ndarray, axis: int, axis_name: str
+                          ) -> jnp.ndarray:
+    """``_up2_linear_axis`` for a slab-sharded axis: the lo/hi shifted
+    copies come from mesh neighbors (edge-clamped at the global
+    boundary), so per-slab x2 upsampling equals slicing the unsharded
+    result."""
+    xp = halo_pad_x(x, axis_name, spatial_axis=axis, clamp_edges=True)
+    n = x.shape[axis]
+    lo = jax.lax.slice_in_dim(xp, 0, n, axis=axis)
+    hi = jax.lax.slice_in_dim(xp, 2, n + 2, axis=axis)
+    out = jnp.stack([0.75 * x + 0.25 * lo, 0.75 * x + 0.25 * hi],
+                    axis=axis + 1)
+    shp = list(x.shape)
+    shp[axis] *= 2
+    return out.reshape(shp)
+
+
 def upsample_linear(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     """Bi/tri-linear ×factor upsample with half-pixel centers
     (torch align_corners=False) over all spatial axes of
     [B, *spatial, C].  factor 2 uses the shift-based kernel (matches
-    jax.image.resize within fp32 rounding, ~4e-7; far cheaper backward)."""
+    jax.image.resize within fp32 rounding, ~4e-7; far cheaper backward).
+
+    Under ``shard_ctx.halo_axis`` (3D slab-sharded volumes) the first
+    spatial axis exchanges halos with mesh neighbors instead of edge-
+    clamping at slab boundaries."""
     if factor == 2:
+        halo = current_halo_axis() if x.ndim == 5 else None
         for axis in range(1, x.ndim - 1):
-            x = _up2_linear_axis(x, axis)
+            if axis == 1 and halo is not None:
+                x = _up2_linear_axis_halo(x, axis, halo)
+            else:
+                x = _up2_linear_axis(x, axis)
         return x
     spatial = x.shape[1:-1]
     new = tuple(s * factor for s in spatial)

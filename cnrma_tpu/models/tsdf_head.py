@@ -18,6 +18,34 @@ from cnrma_tpu.models.layers import upsample_nearest
 from cnrma_tpu.ops.losses import log_transform
 
 
+def tsdf_losses(output: Dict[str, jnp.ndarray],
+                targets: Dict[str, jnp.ndarray],
+                keys: Sequence[str],
+                sparse_threshold: Sequence[float] = (0.99, 0.99, 0.99)
+                ) -> Dict[str, jnp.ndarray]:
+    """Log-transformed masked L1 per scale (reference ``atlas_head.py:
+    56-80``), standalone so the slab-sharded train path can score gathered
+    predictions.  The coarser-scale surface masks are recomputed from the
+    coarser predictions — identical to the masks the head applied during
+    sparsification."""
+    losses: Dict[str, jnp.ndarray] = {}
+    for i, key in enumerate(keys):
+        pred = output[f"scene_tsdf_{key}"]
+        trgt = targets[f"tsdf_gt_{key}"]
+        observed = trgt < 1
+        outside = jnp.all(trgt == 1, axis=-1, keepdims=True)
+        l1 = jnp.abs(log_transform(pred) - log_transform(trgt))
+        mask = observed | outside
+        if i > 0:
+            prev = output[f"scene_tsdf_{keys[i - 1]}"]
+            prev_up = upsample_nearest(prev[..., None], 2)[..., 0]
+            mask = mask & (jnp.abs(prev_up) < sparse_threshold[i - 1])
+        denom = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+        losses[f"tsdf_loss_{key}"] = (
+            jnp.sum(jnp.where(mask, l1, 0.0)) / denom)
+    return losses
+
+
 class TSDFHead(nn.Module):
     """Inputs: coarse->fine feature volumes [B, X, Y, Z, C_i];
     outputs dict scene_tsdf_{016,008,004} [B, X_i, Y_i, Z_i] + losses."""
@@ -41,7 +69,6 @@ class TSDFHead(nn.Module):
         keys = self.keys
         output: Dict[str, jnp.ndarray] = {}
         losses: Dict[str, jnp.ndarray] = {}
-        masks_surface = []
 
         for i, x in enumerate(xs):
             tsdf = jnp.tanh(
@@ -55,20 +82,9 @@ class TSDFHead(nn.Module):
                                 < self.sparse_threshold[i - 1])
                 tsdf = jnp.where(near_surface, tsdf,
                                  jnp.sign(prev_up) * 0.999)
-                masks_surface.append(near_surface)
             output[f"scene_tsdf_{keys[i]}"] = tsdf
 
         if targets is not None:
-            for i in range(self.n_scales):
-                pred = output[f"scene_tsdf_{keys[i]}"]
-                trgt = targets[f"tsdf_gt_{keys[i]}"]
-                observed = trgt < 1
-                outside = jnp.all(trgt == 1, axis=-1, keepdims=True)
-                l1 = jnp.abs(log_transform(pred) - log_transform(trgt))
-                mask = observed | outside
-                if i > 0:
-                    mask = mask & masks_surface[i - 1]
-                denom = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
-                losses[f"tsdf_loss_{keys[i]}"] = (
-                    jnp.sum(jnp.where(mask, l1, 0.0)) / denom)
+            losses = tsdf_losses(output, targets, keys,
+                                 self.sparse_threshold)
         return output, losses

@@ -19,7 +19,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from cnrma_tpu.models.layers import BatchNorm, ConvBN, upsample_linear
+from cnrma_tpu.models.layers import (
+    BatchNorm, ConvBN, sync_batch_stats, upsample_linear)
+from cnrma_tpu.utils.shard_ctx import current_halo_axis, halo_pad_x
 
 relu = jax.nn.relu
 
@@ -35,7 +37,12 @@ class BasicBlock3dZeroInit(nn.Module):
         y = ConvBN(self.features, 3, 1, norm="BN", act=relu,
                    conv_dtype=self.compute_dtype,
                    name="conv1")(x, train=train)
-        y = nn.Conv(self.features, (3, 3, 3), padding=[(1, 1)] * 3,
+        halo = current_halo_axis()
+        pad = [(1, 1)] * 3
+        if halo is not None:            # X slab-sharded (shard_ctx)
+            y = halo_pad_x(y, halo, spatial_axis=1)
+            pad = [(0, 0), (1, 1), (1, 1)]
+        y = nn.Conv(self.features, (3, 3, 3), padding=pad,
                     use_bias=False, dtype=self.compute_dtype,
                     name="conv2")(y)
         y = BatchNormZero(name="bn2")(y, train=train)
@@ -58,7 +65,9 @@ class BatchNormZero(BatchNorm):
             xf = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(xf, axis=axes)
-            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            meansq = jnp.mean(jnp.square(xf), axis=axes)
+            mean, meansq = sync_batch_stats(mean, meansq)
+            var = meansq - jnp.square(mean)
             if not self.is_initializing():
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1 - self.momentum) * mean)

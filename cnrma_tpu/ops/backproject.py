@@ -374,6 +374,9 @@ def _accum_impl_tiled(voxel_dim, voxel_size, tile, tile_capacity,
         idx, valid = _project_indices_tiled(p, voxel_dim, t, voxel_size,
                                             origin, H, W)
         score = valid.sum(axis=1, dtype=jnp.int32)           # [Nt]
+        from cnrma_tpu.utils.capacity_debug import report as _cap_report
+        _cap_report("bp in-frustum tiles/view",
+                    jnp.sum((score > 0).astype(jnp.int32)), K)
         _, tids = jax.lax.top_k(score, K)
         idx_k = jnp.take(idx, tids, axis=0)                  # [K, t³]
         val_k = jnp.take(valid, tids, axis=0)
@@ -538,6 +541,13 @@ def _rect_select(px, py, valid, rh, rw, k_rect, k_over, ax=1, ay=1):
     so = jnp.where(has & ~fits, score, -1)
     _, tids_o = jax.lax.top_k(so, k_over)
     sel_o = jnp.take(so, tids_o) >= 0
+    # exactness requires BOTH classes to fit their caps (dropped tiles
+    # lose their views' contributions) — surface under the debug flag
+    from cnrma_tpu.utils.capacity_debug import report as _cap_report
+    _cap_report("bp rect-fit tiles/view",
+                jnp.sum(fits.astype(jnp.int32)), k_rect)
+    _cap_report("bp overflow tiles/view",
+                jnp.sum((has & ~fits).astype(jnp.int32)), k_over)
     return tids_r, sel_r, tids_o, sel_o, pxm, pym
 
 

@@ -105,6 +105,65 @@ def _sample_tsdf(tsdf: jnp.ndarray, places: jnp.ndarray,
     return jnp.where(valid, vals, 1.0), valid
 
 
+def _ray_pallas_decision(n_rows: int, n_codes: int):
+    """(use_pallas, interpret) for the coarse-occupancy one-hot lookup.
+
+    ``CNRMA_RAY_PALLAS``: ``auto`` (default — on when the default JAX
+    backend is a real TPU and shapes are eligible), ``1`` (force),
+    ``interpret`` (CPU parity tests), ``0`` (never).
+    """
+    mode = os.environ.get("CNRMA_RAY_PALLAS", "auto").lower()
+    if mode in ("0", "off", "false"):
+        return False, False
+    from cnrma_tpu.ops import pallas_ray
+    if not pallas_ray.lookup_eligible(n_rows, n_codes):
+        return False, False
+    if mode == "interpret":
+        return True, True
+    if mode in ("1", "on", "true"):
+        return True, False
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend probe never raises
+        on_tpu = False
+    return on_tpu, False
+
+
+def _sample_occupancy(occ: jnp.ndarray, places: jnp.ndarray,
+                      origin: jnp.ndarray, cell_size: float
+                      ) -> jnp.ndarray:
+    """``where(valid, occ[sample], 0.0)`` — the coarse-march occupancy
+    fetch.  Same voxel-id math as ``_sample_tsdf``; the gather itself
+    routes to the Pallas one-hot MXU kernel (``ops/pallas_ray.py``) on
+    TPU — the table is tiny (~48 KB at the full rung) but the XLA row
+    gather still pays the per-index rate ceiling for the ~730k samples
+    per view.  Out-of-volume samples return 0 (no hit), matching the
+    previous ``where(occ_valid, occ_vals, 0.0)``."""
+    X, Y, Z = occ.shape
+    ids = jnp.round((places - origin[None, :]) / cell_size
+                    ).astype(jnp.int32)
+    valid = ((ids[:, 0] >= 0) & (ids[:, 0] < X)
+             & (ids[:, 1] >= 0) & (ids[:, 1] < Y)
+             & (ids[:, 2] >= 0) & (ids[:, 2] < Z))
+    n_rows = (X * Y * Z + 127) // 128
+    use_pl, interp = _ray_pallas_decision(n_rows, places.shape[0])
+    if use_pl:
+        from cnrma_tpu.ops import pallas_ray
+        ids_c = jnp.where(valid[:, None], ids, 0)
+        flat = (ids_c[:, 0] * Y + ids_c[:, 1]) * Z + ids_c[:, 2]
+        codes = jnp.where(valid, flat, jnp.int32(n_rows * 128))
+        table = occ.reshape(-1)
+        pad = n_rows * 128 - table.shape[0]
+        if pad:
+            table = jnp.concatenate(
+                [table, jnp.zeros((pad,), table.dtype)])
+        return pallas_ray.onehot_lookup(
+            table.reshape(n_rows, 128).astype(jnp.float32), codes,
+            interpret=interp)
+    vals, valid = _sample_tsdf(occ, places, origin, cell_size)
+    return jnp.where(valid, vals, 0.0)
+
+
 def _select_topk(weights: jnp.ndarray, capacity: int) -> jnp.ndarray:
     """Weight-ranked static-shape selection of up to ``capacity`` samples.
 
@@ -159,6 +218,8 @@ def _select_topk(weights: jnp.ndarray, capacity: int) -> jnp.ndarray:
         sel = compact(None)
     else:
         count = jnp.sum((weights > 0).astype(jnp.int32))
+        from cnrma_tpu.utils.capacity_debug import report as _cap_report
+        _cap_report("ray-march kept samples/view", count, k)
         sel = jax.lax.cond(count <= k, compact, ranked, None)
     if k < capacity:
         sel = jnp.concatenate(
@@ -290,11 +351,10 @@ def ray_march_neus(projection: jnp.ndarray,
         tc = (jnp.arange(n_coarse, dtype=jnp.float32) * coarse_step
               + coarse_step * 0.5) * t_one
         places_c = o[None, None, :] + d[:, None, :] * tc[None, :, None]
-        occ_vals, occ_valid = _sample_tsdf(
+        occ_vals = _sample_occupancy(
             occupancy, places_c.reshape(HW * n_coarse, 3), origin,
             voxel_size * skip_factor)
-        hit = (jnp.where(occ_valid, occ_vals, 0.0)
-               .reshape(HW, n_coarse) > 0.5)
+        hit = occ_vals.reshape(HW, n_coarse) > 0.5
         has_hit = jnp.any(hit, axis=1)                       # [HW]
         j0 = jnp.argmax(hit, axis=1)                         # first band
         # fine window starts one coarse step before the band entry

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+from cnrma_tpu.utils.capacity_debug import report as _cap_report
 from cnrma_tpu.ops.voxelize import (
     SENTINEL_KEY, VoxelGrid, lattice_cells, lattice_index, lookup,
     lookup_lut, sort_by_key, unique_sorted)
@@ -123,7 +124,8 @@ def voxelize_points(points: jnp.ndarray, feats: jnp.ndarray,
     keys = grid.pack(coords)
     keys = jnp.where(point_valid, keys, SENTINEL_KEY)
     keys_sorted, feats_s = sort_by_key(keys, feats)
-    out_keys, run_id, _ = unique_sorted(keys_sorted, capacity)
+    out_keys, run_id, n_uniq = unique_sorted(keys_sorted, capacity)
+    _cap_report("voxelize(stride 1)", n_uniq, capacity)
     c = feats.shape[-1]
     if reduce == "mean":
         # accumulate in fp32 regardless of the feature dtype (bf16 features
@@ -288,6 +290,7 @@ def downsample_coords(st: SparseTensor, factor: int, capacity: int,
         occ = jnp.zeros((cells + 1,), jnp.int32).at[cell].set(
             1, mode="drop", unique_indices=False)[:cells]
         rank_incl = jnp.cumsum(occ)
+        _cap_report(f"dedup(stride {new_stride})", rank_incl[-1], capacity)
         slot = rank_incl[cell.clip(0, cells - 1)] - 1             # [N]
         valid_in = st.valid & (cell < cells)
         slot = jnp.where(valid_in & (slot < capacity), slot, capacity)
@@ -300,12 +303,14 @@ def downsample_coords(st: SparseTensor, factor: int, capacity: int,
         n = qkeys.shape[0]
         keys_sorted, perm = sort_by_key(qkeys,
                                         jnp.arange(n, dtype=jnp.int32))
-        out_keys, run_id, _ = unique_sorted(keys_sorted, capacity)
+        out_keys, run_id, n_uniq = unique_sorted(keys_sorted, capacity)
+        _cap_report(f"dedup(stride {new_stride})", n_uniq, capacity)
         run_orig = jnp.full((n,), capacity, jnp.int32).at[perm].set(
             run_id.astype(jnp.int32), mode="drop")
         return out_keys, st.grid.unpack(out_keys), run_orig
     keys_sorted, = sort_by_key(qkeys)
-    out_keys, run_id, _ = unique_sorted(keys_sorted, capacity)
+    out_keys, run_id, n_uniq = unique_sorted(keys_sorted, capacity)
+    _cap_report(f"dedup(stride {new_stride})", n_uniq, capacity)
     return out_keys, st.grid.unpack(out_keys), run_id
 
 
@@ -382,6 +387,10 @@ def _derived_strided3_kmap(st: SparseTensor, capacity: int):
     T = jnp.asarray(_STEM_K_TABLE)
     n, m = st.capacity, capacity
     ok0 = st.valid & (slot < m)
+    # Overflow here is LOSSY beyond the ordinary capacity drop (see
+    # docstring): surface it loudly under CNRMA_CAPACITY_DEBUG.
+    _cap_report("derived-kmap(k3s2) dropped-parent inputs (lossy!)",
+                jnp.sum((st.valid & (slot >= m)).astype(jnp.int32)), 1)
     slot_c = jnp.where(ok0, slot, 0)
     rows = jnp.arange(n, dtype=jnp.int32)
     idx_buf = jnp.zeros((27 * m + 1,), jnp.int32)

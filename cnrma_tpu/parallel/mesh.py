@@ -25,11 +25,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(n_devices: Optional[int] = None,
               axis_names: Sequence[str] = ("data",),
-              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+              devices: Optional[Sequence[jax.Device]] = None,
+              shape: Optional[Sequence[int]] = None) -> Mesh:
+    """1-D ``('data',)`` mesh by default; pass ``shape`` (and matching
+    ``axis_names``) for multi-axis layouts, e.g. ``shape=(2, 4),
+    axis_names=('data', 'view')`` — 2 scene shards x 4-way intra-scene
+    view/slab sharding (``train/loop.py:make_train_step(view_axis=...)``)."""
     devices = list(devices) if devices is not None else jax.devices()
+    if shape is not None:
+        n = int(np.prod(shape))
+        return Mesh(np.array(devices[:n]).reshape(tuple(shape)),
+                    axis_names)
     n = n_devices or len(devices)
-    shape = (n,) + (1,) * (len(axis_names) - 1)
-    return Mesh(np.array(devices[:n]).reshape(shape), axis_names)
+    mesh_shape = (n,) + (1,) * (len(axis_names) - 1)
+    return Mesh(np.array(devices[:n]).reshape(mesh_shape), axis_names)
 
 
 def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:

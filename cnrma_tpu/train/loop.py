@@ -50,8 +50,21 @@ def total_loss(losses: Dict[str, jnp.ndarray]) -> jnp.ndarray:
 
 
 def make_train_step(model, tx, mesh=None, axis: str = "data",
-                    donate: bool = True, split: bool = False) -> Callable:
+                    donate: bool = True, split: bool = False,
+                    view_axis: Optional[str] = None) -> Callable:
     """Returns jitted ``step(state, batch, rng) -> (state, log_vars)``.
+
+    ``view_axis`` (requires a ``mesh`` carrying both ``axis`` and
+    ``view_axis``, e.g. ``make_mesh(shape=(2, 4), axis_names=('data',
+    'view'))``) additionally shards each scene ACROSS the devices of the
+    view axis — views for the 2D tower / volume / ray marching, X-axis
+    slabs for the 3D U-Net — via
+    ``CNRMA.forward_view_sharded``.  This is the memory-scaling path for
+    the reference's stage-3 finetune workload that does not fit a single
+    16 GB chip (doc/performance.md "Training throughput"); gradients,
+    losses and BN stats come back as exact joint-scene values (pmean
+    over the view axis assembles sharded-module partials and averages
+    replicated-module copies — both yield the full gradient).
 
     With ``mesh`` the gradient computation runs under ``shard_map`` over
     ``mesh[axis]``: each device executes the model on its LOCAL scene
@@ -87,11 +100,19 @@ def make_train_step(model, tx, mesh=None, axis: str = "data",
             mdl = model.clone(pmean_axis=pmean_axis)
 
         def loss_fn(params):
-            out, mutated = mdl.apply(
-                {"params": params, "batch_stats": batch_stats},
-                batch, train=True,
-                rngs={"sample": rng_sample, "aug": rng_aug},
-                mutable=["batch_stats"])
+            if view_axis is not None:
+                out, mutated = mdl.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    batch, view_axis,
+                    rngs={"sample": rng_sample, "aug": rng_aug},
+                    mutable=["batch_stats"],
+                    method=mdl.forward_view_sharded)
+            else:
+                out, mutated = mdl.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    batch, train=True,
+                    rngs={"sample": rng_sample, "aug": rng_aug},
+                    mutable=["batch_stats"])
             losses = out["losses"]
             return total_loss(losses), (losses, mutated["batch_stats"])
 
@@ -99,25 +120,34 @@ def make_train_step(model, tx, mesh=None, axis: str = "data",
             loss_fn, has_aux=True)(params)
         return loss, losses, new_stats, grads
 
+    if view_axis is not None and mesh is None:
+        raise ValueError("view_axis requires a mesh")
     if split:
         if mesh is None:
             raise ValueError("split=True requires a mesh")
+        if view_axis is not None:
+            raise ValueError("split mode is data-parallel only")
         return _make_split_train_step(model, tx, mesh, axis,
                                       grads_and_logs, donate)
 
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
 
+        red_axes = (axis,) if view_axis is None else (axis, view_axis)
+
         def per_device(params, batch_stats, batch, rng_sample, rng_aug):
-            # distinct sample/aug streams per device shard
+            # distinct sample/aug streams per DATA shard; devices of the
+            # same view row must share the stream (replicated tail)
             ix = jax.lax.axis_index(axis)
             loss, losses, new_stats, grads = grads_and_logs(
                 params, batch_stats, batch,
                 jax.random.fold_in(rng_sample, ix),
                 jax.random.fold_in(rng_aug, ix), pmean_axis=axis)
             # DDP gradient mean + cross-rank log averaging; BN running
-            # stats are averaged too (reference leaves them per-rank)
-            pm = lambda t: jax.lax.pmean(t, axis)
+            # stats are averaged too (reference leaves them per-rank).
+            # Over the view axis the pmean assembles the exact per-scene
+            # gradient (see make_train_step docstring).
+            pm = lambda t: jax.lax.pmean(t, red_axes)
             return pm(loss), pm(losses), pm(new_stats), pm(grads)
 
         inner = jax.shard_map(

@@ -1,0 +1,228 @@
+"""Intra-scene (view/slab) sharded training — parity vs the unsharded
+path.
+
+The reference's stage-3 finetune workload does not fit one v5e chip
+(doc/performance.md "Training throughput"); ``make_train_step(view_axis=
+'view')`` splits each scene across a ``view`` mesh axis
+(``cn_rma.py:forward_view_sharded``).  These tests pin the sharded math
+to the single-device semantics on the virtual CPU mesh (SURVEY.md §4):
+
+* the slab-sharded U-Net forward (halo-exchange convs, sharded x2
+  upsample, pmean'd BN stats) must match the full-volume forward;
+* a full ``('data','view')`` train step must produce the same losses
+  and parameter update as the plain data-parallel step.
+"""
+
+import subprocess
+import sys
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cnrma_tpu.parallel.mesh import make_mesh
+
+
+class TestUNetSlabParity:
+    def test_unet_tsdf_slab_matches_full(self):
+        """UNet3D + TSDFHead on 2 X-slabs under halo_axis/bn_sync_axis
+        ≡ the unsharded forward (train mode: batch-stat BN)."""
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple virtual devices")
+        from jax.sharding import PartitionSpec as P
+
+        from cnrma_tpu.models.tsdf_head import TSDFHead
+        from cnrma_tpu.models.unet3d import UNet3D
+        from cnrma_tpu.utils.shard_ctx import bn_sync_axis, halo_axis
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(1, 16, 8, 8, 4).astype(np.float32))
+        unet = UNet3D(channels=(4, 8, 12, 16), layers_down=(1, 1, 1, 1),
+                      layers_up=(1, 1, 1))
+        head = TSDFHead(input_channels=(4, 8, 12), voxel_size=0.1)
+
+        key = jax.random.PRNGKey(0)
+        uvars = unet.init(key, x, train=False)
+        hvars = head.init(key, [
+            jnp.zeros((1, 4, 2, 2, 12), jnp.float32),
+            jnp.zeros((1, 8, 4, 4, 8), jnp.float32),
+            jnp.zeros((1, 16, 8, 8, 4), jnp.float32)], None)
+
+        def fwd_full(x):
+            outs, mut = unet.apply(uvars, x, train=True,
+                                   mutable=["batch_stats"])
+            preds, _ = head.apply(hvars, outs, None)
+            return outs, preds, mut["batch_stats"]
+
+        ref_outs, ref_preds, ref_stats = jax.jit(fwd_full)(x)
+
+        mesh = make_mesh(2, axis_names=("view",))
+
+        def fwd_slab(x_slab):
+            with bn_sync_axis("view"), halo_axis("view"):
+                outs, mut = unet.apply(uvars, x_slab, train=True,
+                                       mutable=["batch_stats"])
+                preds, _ = head.apply(hvars, outs, None)
+            outs = tuple(jax.lax.all_gather(o, "view", axis=1, tiled=True)
+                         for o in outs)
+            preds = {k: jax.lax.all_gather(v, "view", axis=1, tiled=True)
+                     for k, v in preds.items()}
+            stats = jax.lax.pmean(mut["batch_stats"], "view")
+            return outs, preds, stats
+
+        sh_outs, sh_preds, sh_stats = jax.jit(jax.shard_map(
+            fwd_slab, mesh=mesh, in_specs=P(None, "view"),
+            out_specs=(P(), P(), P()), check_vma=False))(x)
+
+        for a, b in zip(ref_outs, sh_outs):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=2e-5, rtol=2e-5)
+        for k in ref_preds:
+            np.testing.assert_allclose(np.asarray(sh_preds[k]),
+                                       np.asarray(ref_preds[k]),
+                                       atol=2e-5, rtol=2e-5)
+        flat_r = jax.tree_util.tree_leaves(ref_stats)
+        flat_s = jax.tree_util.tree_leaves(sh_stats)
+        for a, b in zip(flat_r, flat_s):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=2e-5, rtol=2e-5)
+
+    def test_upsample_linear_halo_matches(self):
+        """Slab-sharded x2 linear upsample ≡ unsharded on the X axis."""
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple virtual devices")
+        from jax.sharding import PartitionSpec as P
+
+        from cnrma_tpu.models.layers import upsample_linear
+        from cnrma_tpu.utils.shard_ctx import halo_axis
+
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.rand(1, 8, 4, 4, 3).astype(np.float32))
+        ref = upsample_linear(x, 2)
+        mesh = make_mesh(2, axis_names=("view",))
+
+        def f(xs):
+            with halo_axis("view"):
+                return upsample_linear(xs, 2)
+
+        got = jax.jit(jax.shard_map(
+            f, mesh=mesh, in_specs=P(None, "view"),
+            out_specs=P(None, "view"), check_vma=False))(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6)
+
+
+_VIEW_STEP_PARITY = """
+import sys
+sys.path[:0] = [__REPO__, __TESTS__]
+import jax
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_cpu_enable_async_dispatch', False)
+jax.config.update('jax_default_matmul_precision', 'highest')
+from cnrma_tpu.utils.comp_cache import enable_persistent_cache
+enable_persistent_cache(min_compile_secs=5.0)
+import numpy as np, optax
+import jax.numpy as jnp
+from test_pipeline import tiny_model
+from cnrma_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from cnrma_tpu.train.loop import make_train_step
+from cnrma_tpu.train.state import TrainState
+
+model, batch = tiny_model(batch=2)
+# make the two scenes differ so data-parallelism is actually exercised
+batch['imgs'] = batch['imgs'].at[1].multiply(0.5)
+rng = jax.random.PRNGKey(0)
+vars_ = jax.jit(lambda: model.init(
+    dict(params=rng, sample=rng, aug=rng), batch, train=False))()
+# SGD: parameter delta == lr * grad, so parameter comparison IS the
+# gradient comparison (AdamW's rescaling would amplify noise-level grads)
+tx = optax.sgd(1e-2)
+
+results = {}
+for mode in ('dp', 'view'):
+    if mode == 'dp':
+        mesh = make_mesh(2)
+        kwargs = dict(mesh=mesh)
+    else:
+        mesh = make_mesh(shape=(2, 2), axis_names=('data', 'view'))
+        kwargs = dict(mesh=mesh, view_axis='view')
+    state = TrainState.create(
+        jax.tree_util.tree_map(jnp.copy, vars_['params']),
+        jax.tree_util.tree_map(jnp.copy, vars_['batch_stats']), tx)
+    state = replicate(state, mesh)
+    step = make_train_step(model, tx, **kwargs)
+    new_state, logs = step(state, shard_batch(batch, mesh), rng)
+    assert int(new_state.step) == 1
+    for k, v in logs.items():
+        assert np.isfinite(float(v)), (k, logs)
+    results[mode] = (jax.device_get(new_state.params),
+                     jax.device_get(new_state.batch_stats),
+                     {k: float(v) for k, v in logs.items()})
+    print('STEP_OK', mode, results[mode][2]['total_loss'], flush=True)
+
+p_dp, s_dp, l_dp = results['dp']
+p_vw, s_vw, l_vw = results['view']
+for k in l_dp:
+    a, b = l_dp[k], l_vw[k]
+    assert abs(a - b) <= 2e-3 * max(1.0, abs(a)), (k, a, b)
+flat_a, tree = jax.tree_util.tree_flatten(p_dp)
+flat_b = jax.tree_util.tree_leaves(p_vw)
+paths = [jax.tree_util.keystr(kp)
+         for kp, _ in jax.tree_util.tree_flatten_with_path(p_dp)[0]]
+for pth, a, b in zip(paths, flat_a, flat_b):
+    np.testing.assert_allclose(
+        np.asarray(b), np.asarray(a), atol=5e-6, rtol=5e-4,
+        err_msg=f'param {pth}')
+for pth_ab in zip(jax.tree_util.tree_leaves(s_dp),
+                  jax.tree_util.tree_leaves(s_vw)):
+    np.testing.assert_allclose(np.asarray(pth_ab[1]),
+                               np.asarray(pth_ab[0]),
+                               atol=1e-5, rtol=1e-4)
+print('PARITY_OK', flush=True)
+"""
+
+
+class TestViewShardedTrainStep:
+    @pytest.mark.slow
+    def test_grad_parity_with_data_parallel(self):
+        """One ('data'=2,'view'=2) sharded train step == the ('data'=2,)
+        step: same losses, same SGD parameter update (i.e. same
+        gradients), same BN running stats."""
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        code = (_VIEW_STEP_PARITY
+                .replace("__REPO__", repr(repo))
+                .replace("__TESTS__", repr(os.path.join(repo, "tests"))))
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        flags = env.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            flags += " --xla_force_host_platform_device_count=8"
+        if "collective_timeout" not in flags:
+            flags += " --xla_cpu_collective_timeout_seconds=900"
+        env["XLA_FLAGS"] = flags.strip()
+        last = None
+        for _ in range(3):
+            try:
+                r = subprocess.run([sys.executable, "-c", code], env=env,
+                                   capture_output=True, text=True,
+                                   timeout=1800)
+            except subprocess.TimeoutExpired as e:
+                last = e
+                continue
+            if r.returncode == 0:
+                assert "PARITY_OK" in r.stdout
+                return
+            last = r
+            if r.stdout.count("STEP_OK") == 2:
+                break          # deterministic assert, not a flake
+        rc = getattr(last, "returncode", "timeout")
+        err = getattr(last, "stderr", "") or ""
+        if isinstance(err, bytes):
+            err = err.decode("utf-8", "replace")
+        out = getattr(last, "stdout", "") or ""
+        pytest.fail(f"view-sharded parity failed: rc={rc}\n"
+                    f"{out[-1000:]}\n{err[-3000:]}")

@@ -8,7 +8,15 @@ the per-GPU workload of the reference's 4-GPU stage-3 finetune
 training; multiply by the data-mesh size for aggregate throughput (the
 shard_map trainer is per-device this exact program).
 
+``--view-shards N`` runs the step over a ``('data'=1,'view'=N)``
+mesh (``make_train_step(view_axis='view')``): each scene's tower/volume
+/ray-march work shards over views and the U-Net over X slabs across N
+chips — the path that fits the medium (stage-3) workload on 16 GB v5e
+parts, which it does not fit alone (doc/performance.md "Training
+throughput").  Needs N visible devices.
+
 Usage: python tools/bench_train.py [--scale medium|small] [--iters N]
+                                   [--view-shards N]
 """
 
 import argparse
@@ -27,6 +35,9 @@ def main():
     ap.add_argument("--scale", default="medium",
                     choices=["small", "medium"])
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--view-shards", type=int, default=0,
+                    help="shard each scene over N devices "
+                         "(('data','view') mesh train step)")
     args = ap.parse_args()
 
     from cnrma_tpu.utils.comp_cache import enable_persistent_cache
@@ -71,7 +82,18 @@ def main():
                               variables.get("batch_stats", {}), tx)
     print(f"init: {time.perf_counter() - t0:.1f}s", flush=True)
 
-    step = make_train_step(model, tx)
+    if args.view_shards > 1:
+        from cnrma_tpu.parallel.mesh import make_mesh, replicate, \
+            shard_batch
+        mesh = make_mesh(shape=(1, args.view_shards),
+                         axis_names=("data", "view"))
+        state = replicate(state, mesh)
+        batch = shard_batch(batch, mesh)
+        step = make_train_step(model, tx, mesh=mesh, view_axis="view")
+        print(f"view-sharded step over {args.view_shards} devices",
+              flush=True)
+    else:
+        step = make_train_step(model, tx)
 
     def force(s):
         jax.device_get(s.step)

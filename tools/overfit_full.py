@@ -38,12 +38,24 @@ FLOOR_COLOR = np.array([150, 150, 150], np.float32)
 SKY_COLOR = np.array([30, 30, 30], np.float32)
 
 
+def _box_frame(pts, box):
+    """Rotate [N,3] points into the (possibly yawed) box frame."""
+    cx, cy, cz, sx, sy, sz = box[:6]
+    yaw = box[6] if len(box) > 6 else 0.0
+    q = pts - np.array([cx, cy, cz])
+    if yaw:
+        c, s = np.cos(-yaw), np.sin(-yaw)
+        q = np.stack([q[:, 0] * c - q[:, 1] * s,
+                      q[:, 0] * s + q[:, 1] * c, q[:, 2]], axis=1)
+    return np.abs(q) - np.array([sx, sy, sz]) / 2
+
+
 def scene_sdf(pts, boxes, floor_z):
-    """Signed distance of [N,3] points to floor plane + box union."""
+    """Signed distance of [N,3] points to floor plane + box union
+    (boxes [M, 6|7], optional yaw around +z — the ARKit 7-DoF case)."""
     d = pts[:, 2] - floor_z
-    for cx, cy, cz, sx, sy, sz in boxes:
-        q = np.abs(pts - np.array([cx, cy, cz])) \
-            - np.array([sx, sy, sz]) / 2
+    for box in boxes:
+        q = _box_frame(pts, box)
         outside = np.linalg.norm(np.maximum(q, 0.0), axis=1)
         inside = np.minimum(np.max(q, axis=1), 0.0)
         d = np.minimum(d, outside + inside)
@@ -53,24 +65,29 @@ def scene_sdf(pts, boxes, floor_z):
 def nearest_box(pts, boxes):
     """Index of the closest box per point (for hit coloring)."""
     ds = []
-    for cx, cy, cz, sx, sy, sz in boxes:
-        q = np.abs(pts - np.array([cx, cy, cz])) \
-            - np.array([sx, sy, sz]) / 2
+    for box in boxes:
+        q = _box_frame(pts, box)
         ds.append(np.linalg.norm(np.maximum(q, 0.0), axis=1)
                   + np.minimum(np.max(q, axis=1), 0.0))
     return np.argmin(np.stack(ds), axis=0), np.min(np.stack(ds), axis=0)
 
 
 def make_scene(rng, n_classes=3, n_boxes=2, extent=(3.2, 3.2, 1.6),
-               floor_z=0.1):
+               floor_z=0.1, yaw_max=0.0):
+    """Boxes are [cx,cy,cz,sx,sy,sz,yaw]; ``yaw_max > 0`` draws a
+    rotation (the ARKit 7-DoF regime, ``ray_marching_arkit.py:193-201``),
+    elongating x vs y so the yaw is observable."""
     boxes, labels = [], []
     for _ in range(n_boxes):
         size = rng.rand(3) * 0.5 + np.array([0.5, 0.5, 0.5])
+        if yaw_max > 0:
+            size[0] *= 1.8                    # distinct principal axis
         center = np.array([
             rng.rand() * (extent[0] - 1.6) + 0.8,
             rng.rand() * (extent[1] - 1.6) + 0.8,
             floor_z + size[2] / 2])
-        boxes.append([*center, *size])
+        yaw = (rng.rand() * 2 - 1) * yaw_max
+        boxes.append([*center, *size, yaw])
         labels.append(rng.randint(n_classes))
     return (np.asarray(boxes, np.float32),
             np.asarray(labels, np.int32), floor_z)
@@ -160,18 +177,19 @@ def make_views(rng, boxes, labels, floor_z, n_views, h, w,
 # ---------------------------------------------------------------------------
 
 def build_batch(rng, n_scenes, n_views, h, w, voxel_dim, voxel_size,
-                n_classes, max_boxes=4):
+                n_classes, max_boxes=4, yaw_max=0.0):
     imgs, projs, tsdfs, gtb, gtl, gtv = [], [], [], [], [], []
     scenes = []
     for _ in range(n_scenes):
-        boxes, labels, floor_z = make_scene(rng, n_classes)
+        boxes, labels, floor_z = make_scene(rng, n_classes,
+                                            yaw_max=yaw_max)
         scenes.append((boxes, labels))
         im, pr = make_views(rng, boxes, labels, floor_z, n_views, h, w)
         imgs.append(im)
         projs.append(pr)
         tsdfs.append(gt_tsdf(boxes, floor_z, voxel_dim, voxel_size))
         b7 = np.zeros((max_boxes, 7), np.float32)
-        b7[:len(boxes), :6] = boxes
+        b7[:len(boxes)] = boxes
         gtb.append(b7)
         lb = np.zeros(max_boxes, np.int32)
         lb[:len(labels)] = labels
@@ -200,6 +218,11 @@ def main():
     ap.add_argument("--views", type=int, default=8)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--map-target", type=float, default=0.5)
+    ap.add_argument("--yaw", action="store_true",
+                    help="7-DoF yawed boxes end to end: rotated-IoU "
+                         "loss + fcaf3d yaw decode + rotated NMS + "
+                         "rotated mAP (the ARKit regime, "
+                         "ray_marching_arkit.py:193-201)")
     args = ap.parse_args()
     if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
@@ -223,8 +246,10 @@ def main():
     h, w = 64, 96
     rng_np = np.random.RandomState(0)
     t0 = time.time()
+    yaw_max = 0.6 if args.yaw else 0.0
     batch_np, scenes = build_batch(rng_np, args.scenes, args.views, h, w,
-                                   voxel_dim, voxel_size, n_classes)
+                                   voxel_dim, voxel_size, n_classes,
+                                   yaw_max=yaw_max)
     print(f"scene gen: {time.time() - t0:.0f}s", flush=True)
     batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
 
@@ -233,6 +258,7 @@ def main():
         ray_samples=64, rays_per_view_cap=2048, max_points=8192,
         voxel_size_fcaf3d=0.05, pts_threshold=6000,
         assigner_limit=8, assigner_topk=6, nms_pre=128,
+        with_yaw=args.yaw, n_reg_outs=8 if args.yaw else 6,
         capacities=DetectionCapacities(
             voxelize=8192, stride2=6144, stride4=4096,
             levels=(2048, 1024, 512, 256), neck=(6144, 4096, 2048)),
@@ -291,8 +317,7 @@ def main():
         if len(bb):
             bb[:, 2] -= bb[:, 5] / 2               # gravity -> bottom z
         results.append({"boxes": bb, "scores": sc, "labels": lb})
-        gb = np.zeros((len(scenes[i][0]), 7), np.float32)
-        gb[:, :6] = scenes[i][0]
+        gb = np.array(scenes[i][0], np.float32, copy=True)
         gb[:, 2] -= gb[:, 5] / 2
         gts.append({"gt_boxes": gb, "labels": scenes[i][1]})
     order = np.argsort(-results[0]["scores"])[:4]
@@ -305,7 +330,7 @@ def main():
     metrics = indoor_eval(gts, results, iou_thrs=(0.25, 0.5),
                           label2cat={i: f"c{i}"
                                      for i in range(n_classes)},
-                          rotated=False)
+                          rotated=args.yaw)
     print(f"total {first:.3f} -> {final:.3f};  "
           f"recon {first_recon:.3f} -> {final_recon:.3f};  "
           f"mAP@0.25 {metrics['mAP_0.25']:.3f}  "

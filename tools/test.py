@@ -181,12 +181,14 @@ def main():
 
     t0 = time.time()
     n_done = 0
-    for batch in loader:
+
+    def prep(batch, base):
+        """Host-side collation + ASYNC device placement of one batch."""
         scenes = list(batch["scene"])
         n_real = len(scenes)
         # per-scene subsample seed = global scene index (shuffle=False):
         # makes sharded and sequential runs draw identical subsamples
-        batch["scene_seed"] = np.arange(n_done, n_done + n_real,
+        batch["scene_seed"] = np.arange(base, base + n_real,
                                         dtype=np.int32)
         db = device_batch(batch)
         if n_dev > 1 and n_real < n_dev:      # pad the ragged last batch
@@ -194,15 +196,41 @@ def main():
             db = jax.tree_util.tree_map(
                 lambda a: np.concatenate(
                     [np.asarray(a)] + [np.asarray(a[-1:])] * pad), db)
-        out = jax.device_get(forward(put(db)))
-        for i, scene in enumerate(scenes):
-            write_scene(scene, out, i, batch)
-            n_done += 1
-            dt = time.time() - t0
-            print(f"[{n_done}] {scene}  ({dt / n_done:.2f}s/scene)",
-                  flush=True)
-            if args.max_scenes and n_done >= args.max_scenes:
-                return
+        return scenes, batch, put(db)
+
+    # Double-buffered streaming (BASELINE config 5 / SURVEY §2.8 PP row):
+    # while the device runs scene k, the host already device_put the
+    # scene k+1 image stack (``put`` dispatches the H2D copies
+    # asynchronously), and the per-scene artifact writes (marching
+    # cubes + npz/ply IO — host work) run on a writer thread instead of
+    # serializing with the next dispatch.
+    from concurrent.futures import ThreadPoolExecutor
+    writer = ThreadPoolExecutor(max_workers=1)
+    pending = []
+    it = iter(loader)
+    nxt = next(it, None)
+    cur = prep(nxt, 0) if nxt is not None else None
+    while cur is not None:
+        scenes, host_batch, db = cur
+        out_dev = forward(db)                 # async dispatch
+        base = n_done + len(scenes)
+        nxt = next(it, None)                  # host decode overlaps
+        cur = prep(nxt, base) if nxt is not None else None
+        out = jax.device_get(out_dev)         # sync point
+        pending.append(writer.submit(
+            lambda o=out, s=scenes, hb=host_batch: [
+                write_scene(sc, o, i, hb) for i, sc in enumerate(s)]))
+        if len(pending) > 2:                  # bound host memory
+            pending.pop(0).result()
+        n_done += len(scenes)
+        dt = time.time() - t0
+        print(f"[{n_done}] {scenes[-1]}  ({dt / n_done:.2f}s/scene)",
+              flush=True)
+        if args.max_scenes and n_done >= args.max_scenes:
+            break
+    for f in pending:
+        f.result()
+    writer.shutdown(wait=True)
 
 
 if __name__ == "__main__":
