@@ -137,8 +137,9 @@ def build_bench(scale: str, batch: int = 1):
         # configs set the same; BENCH_ACCUM_DTYPE=float32 restores the
         # reference's exact `self.volume += volume` semantics.
         bp_accum_dtype=os.environ.get("BENCH_ACCUM_DTYPE", "bfloat16"),
-        # A/B knob for the rect-footprint volume gather, e.g.
-        # BENCH_RECT=24x32 (doc/performance.md); default off
+        # A/B knob for the Pallas rect-footprint volume gather, e.g.
+        # BENCH_RECT=16x32 or BENCH_RECT=0x0 to disable; default = the
+        # model default (32x32, ON since the round-5 TPU sweep)
         **(dict(bp_rect_h=int(os.environ["BENCH_RECT"].split("x")[0]),
                 bp_rect_w=int(os.environ["BENCH_RECT"].split("x")[1]))
            if os.environ.get("BENCH_RECT") else {}),

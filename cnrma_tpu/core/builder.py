@@ -122,15 +122,17 @@ def build_model(cfg, mode: str = "train", view_mesh=None):
         # disables and reproduces the reference's dense 300-sample march
         ray_skip_factor=m.get("ray_skip_factor", 8),
         ray_skip_window=m.get("ray_skip_window", 48),
-        ray_skip_coarse_step=m.get("ray_skip_coarse_step", 4),
+        # defaults below MATCH the CNRMA field defaults (single source
+        # of truth = models/cn_rma.py; round-4/5 TPU A/B winners)
+        ray_skip_coarse_step=m.get("ray_skip_coarse_step", 8),
         # TPU-only frustum-tile-culling knobs (ops/backproject.py); 0
         # tile disables and reproduces the dense per-voxel gather
         bp_tile=m.get("bp_tile", 8),
         bp_tile_frac=m.get("bp_tile_frac", 0.5),
-        bp_rect_h=m.get("bp_rect_h", 0),
-        bp_rect_w=m.get("bp_rect_w", 0),
+        bp_rect_h=m.get("bp_rect_h", 32),
+        bp_rect_w=m.get("bp_rect_w", 32),
         bp_rect_frac=m.get("bp_rect_frac", 0.5),
-        bp_overflow_frac=m.get("bp_overflow_frac", 0.05),
+        bp_overflow_frac=m.get("bp_overflow_frac", 0.06),
         bp_accum_dtype=m.get("bp_accum_dtype", "float32"),
         view_mesh=view_mesh,
         n_classes=head.get("n_classes", 18),

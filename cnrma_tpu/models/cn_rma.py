@@ -216,15 +216,24 @@ class CNRMA(nn.Module):
     bp_tile_frac: float = 0.5
     # rect-footprint volume gather (ops/backproject.py): small-footprint
     # tiles load their bp_rect_h x bp_rect_w pixel rect with span gathers
-    # and pick voxels' pixels out of it with a one-hot MXU matmul (~20x
-    # fewer gather indices than one row gather per voxel); tiles whose
-    # footprint exceeds the rect (near-camera — few) take the row-gather
-    # path at the bp_tile_frac capacity.  bp_rect_frac sizes the rect-tile
-    # capacity.  0 disables (row-gather tiled path).
-    bp_rect_h: int = 0
-    bp_rect_w: int = 0
+    # and pick voxels' pixels out of it with the VMEM-resident Pallas
+    # one-hot MXU kernel (ops/pallas_bp.py); tiles whose footprint
+    # exceeds the rect (near-camera — few) take the row-gather path at
+    # the bp_overflow_frac capacity.  DEFAULT ON since the round-5 TPU
+    # A/B (volume 827 -> ~700 ms at the full rung; sweep in
+    # doc/performance.md) — but only engaged when the Pallas kernel is
+    # eligible for the shapes/backend (build_volume checks
+    # _bp_pallas_decision; the pure-XLA rect formulation LOSES at full
+    # scale, so ineligible setups keep the row-gather tiled path).
+    # 32x32 @ overflow 0.06 is the exactness-safe point measured by
+    # tools/rect_fit_probe.py: probe max overflow occupancy 0.018
+    # (full) / 0.038 (medium) of n_tiles — 1.6-3x margin; rect-fit
+    # max 0.48 < bp_rect_frac 0.5.  Verify on new data with
+    # CNRMA_CAPACITY_DEBUG=1.  0 disables (row-gather tiled path).
+    bp_rect_h: int = 32
+    bp_rect_w: int = 32
     bp_rect_frac: float = 0.5
-    bp_overflow_frac: float = 0.05   # row-gather capacity when rect is on
+    bp_overflow_frac: float = 0.06   # row-gather capacity when rect is on
     # dtype of the volume-sum accumulator (ops/backproject.py).  The
     # accumulator's HBM read-modify-write is the volume stage's largest
     # cost after the gathers; 'bfloat16' halves that traffic at ~1%
@@ -310,9 +319,18 @@ class CNRMA(nn.Module):
         feats = self.tower2d(x, train=train)
         return feats.reshape((b, v) + feats.shape[1:])
 
-    def _bp_knobs(self) -> Tuple[int, int, Tuple[int, int], int]:
+    def _bp_knobs(self, feat_shape: Optional[Tuple[int, int, int]] = None
+                  ) -> Tuple[int, int, Tuple[int, int], int]:
         """(tile, tile_capacity, rect, rect_capacity) accumulation knobs
-        from the model config (tile culling + rect gather gating)."""
+        from the model config (tile culling + rect gather gating).
+
+        ``feat_shape`` = (h, w, C) of the stride-4 feature maps: the
+        rect path only engages when the Pallas rect kernel would serve
+        it (``_bp_pallas_decision``) — the pure-XLA rect formulation
+        measured SLOWER than the row-gather tiled path at full scale
+        (doc/performance.md round-4 A/B), so non-TPU backends and
+        ineligible shapes keep the tiled path.
+        """
         tile, tile_cap = 0, 0
         if self.bp_tile > 0 and all(d % self.bp_tile == 0
                                     for d in self.voxel_dim):
@@ -324,13 +342,25 @@ class CNRMA(nn.Module):
                 tile_cap = max(1, int(round(self.bp_tile_frac * n_tiles)))
         rect, rect_cap = (0, 0), 0
         if tile and self.bp_rect_h > 0 and self.bp_rect_w > 0:
-            rect = (self.bp_rect_h, self.bp_rect_w)
             n_tiles = 1
             for d in self.voxel_dim:
                 n_tiles *= d // tile
-            rect_cap = max(1, int(round(self.bp_rect_frac * n_tiles)))
-            # tile_capacity becomes the (small) overflow row-gather cap
-            tile_cap = max(1, int(round(self.bp_overflow_frac * n_tiles)))
+            k_rect = max(1, int(round(self.bp_rect_frac * n_tiles)))
+            eligible = True
+            if feat_shape is not None:
+                from cnrma_tpu.ops.backproject import (
+                    _bp_pallas_decision, _rect_caps)
+                h, w, c = feat_shape
+                K1, _ = _rect_caps(n_tiles, k_rect, 1)
+                eligible = _bp_pallas_decision(
+                    h, w, c, self.bp_rect_h, self.bp_rect_w, K1,
+                    tile ** 3)[0]
+            if eligible:
+                rect = (self.bp_rect_h, self.bp_rect_w)
+                rect_cap = k_rect
+                # tile_capacity becomes the overflow row-gather cap
+                tile_cap = max(1, int(round(self.bp_overflow_frac
+                                            * n_tiles)))
         return tile, tile_cap, rect, rect_cap
 
     def build_volume(self, feats: jnp.ndarray, projections: jnp.ndarray,
@@ -339,7 +369,8 @@ class CNRMA(nn.Module):
         """Scaled-projection back-projection + mean accumulation."""
         proj = projections.at[..., :2, :].divide(self.backbone2d_stride)
         origin = jnp.asarray(self.origin, jnp.float32)
-        tile, tile_cap, rect, rect_cap = self._bp_knobs()
+        tile, tile_cap, rect, rect_cap = self._bp_knobs(
+            tuple(feats.shape[-3:]))
         if self.view_mesh is not None:
             from cnrma_tpu.ops.backproject import (
                 accumulate_views_view_sharded)
@@ -618,7 +649,7 @@ class CNRMA(nn.Module):
         # ---- volume: partial accumulate + psum -----------------------
         origin = jnp.asarray(self.origin, jnp.float32)
         proj_sc = proj_s.at[..., :2, :].divide(self.backbone2d_stride)
-        tile, tile_cap, rect, rect_cap = self._bp_knobs()
+        tile, tile_cap, rect, rect_cap = self._bp_knobs((h, w, c))
         vol_p, cnt_p = accumulate_views_partial(
             proj_sc[0], feats_s[0], vv_s[0], self.voxel_dim,
             self.voxel_size, origin,

@@ -48,12 +48,16 @@ EXPERIMENTS = {
                       "CNRMA_DERIVED_KMAPS": "1",
                       "BENCH_RAY_COARSE": "8",
                       "CNRMA_RAY_COMPACT": "onehot"},
-    # round-4 TPU A/B winners (no rect — it regressed volume 983->1699;
-    # no onehot compact — neutral): what ships as defaults
+    # round-4 TPU A/B winners; round 5 added the Pallas rect gather
+    # (BENCH_RECT=32x32 + overflow 0.06) and the Pallas coarse-march
+    # lookup (CNRMA_RAY_PALLAS) to the code defaults, so "base" now
+    # measures the full shipping combo and "norect"/"raypallas_off"
+    # isolate the round-5 wins OFF.
     "winners": {"CNRMA_SPARSE_LUT_BUDGET": "67108864",
                 "CNRMA_DERIVED_KMAPS": "1",
                 "BENCH_RAY_COARSE": "8",
                 "BENCH_ACCUM_DTYPE": "bfloat16"},
+    "norect": {"BENCH_RECT": "0x0"},
     # Pallas rect gather (ops/pallas_bp.py): BENCH_RECT shapes that are
     # kernel-eligible auto-route to the Pallas path on TPU.  Kernel
     # microbench (tools/pallas_bp_probe.py): 5.4-8.6 ms/view vs 12.7 ms
@@ -66,6 +70,30 @@ EXPERIMENTS = {
     "plrect64x64": {"BENCH_RECT": "64x64"},
     "plrect48x48of10": {"BENCH_RECT": "48x48",
                         "BENCH_OVERFLOW_FRAC": "0.10"},
+    # round-5 follow-up: the first sweep showed smaller rects win
+    # (32x32 710ms < 32x48 738 < 48x48 797 < row-gather 827) — push
+    # smaller, and vary the overflow row-gather capacity that smaller
+    # rects lean on harder.
+    "plrect24x32": {"BENCH_RECT": "24x32"},
+    "plrect16x32": {"BENCH_RECT": "16x32"},
+    "plrect24x32of10": {"BENCH_RECT": "24x32",
+                        "BENCH_OVERFLOW_FRAC": "0.10"},
+    "plrect32x32of02": {"BENCH_RECT": "32x32",
+                        "BENCH_OVERFLOW_FRAC": "0.02"},
+    "plrect8x32": {"BENCH_RECT": "8x32"},
+    "plrect16x32of02": {"BENCH_RECT": "16x32",
+                        "BENCH_OVERFLOW_FRAC": "0.02"},
+    "plrect16x16": {"BENCH_RECT": "16x16"},
+    # exactness-safe overflow capacity: tools/rect_fit_probe.py measured
+    # min exact overflow frac 0.062 at full/16x32 (0.02 clips HALF the
+    # probed views; 0.05 clips the worst) — of07 is the exact-safe A/B
+    "plrect16x32of07": {"BENCH_RECT": "16x32",
+                        "BENCH_OVERFLOW_FRAC": "0.07"},
+    "plrect32x32of03": {"BENCH_RECT": "32x32",
+                        "BENCH_OVERFLOW_FRAC": "0.03"},
+    # ray-march coarse pass routed through the pallas_ray one-hot
+    # kernel is default-ON on TPU since r5 — isolate its OFF state
+    "raypallas_off": {"CNRMA_RAY_PALLAS": "0"},
 }
 
 _LINE = re.compile(r"^(\d_\w+): .* ([0-9.]+)ms/call")
