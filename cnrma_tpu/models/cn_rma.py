@@ -603,11 +603,17 @@ class CNRMA(nn.Module):
           device of the view row computes them identically (same rng).
 
         Losses come back as GLOBAL values, identical on every device of
-        the view row; per-device gradients assemble into the exact full
-        gradient with ``pmean`` over ``view_axis`` (sharded modules
-        contribute n-scaled partials through the collective transposes,
-        replicated modules n identical copies — both mean to the true
-        gradient).
+        the view row.  Gradients: values crossing the sharded ->
+        replicated boundary (the gathered TSDFs, ray buffers and feature
+        maps) are wrapped with ``shard_ctx.scale_grad(1/n)`` so the
+        collective transposes — which SUM the n identical replicated-
+        tail cotangents — deliver exactly the true cotangent upstream;
+        sharded-module gradients then come back as TRUE per-device
+        partials (assembled with ``psum`` over ``view_axis``) while the
+        replicated detector computes the full gradient on every device
+        (assembled with ``pmean``) — see ``train/loop.py:reduce_view``
+        and the exactness test
+        ``tests/test_view_sharded.py:TestBoundaryGradParity``.
 
         Constraints (checked): local batch 1; ``V % n == 0`` (BN-exact
         shards); ``X % n == 0`` and ``(X/n) % 8 == 0`` (slab starts stay
@@ -634,7 +640,8 @@ class CNRMA(nn.Module):
         from cnrma_tpu.models.tsdf_head import tsdf_losses
         from cnrma_tpu.ops.backproject import (
             _normalize_volume, accumulate_views_partial)
-        from cnrma_tpu.utils.shard_ctx import bn_sync_axis, halo_axis
+        from cnrma_tpu.utils.shard_ctx import (
+            bn_sync_axis, halo_axis, scale_grad)
 
         # ---- 2D tower on this device's view shard --------------------
         vs = V // n
@@ -668,9 +675,17 @@ class CNRMA(nn.Module):
         with bn_sync_axis(view_axis), halo_axis(view_axis):
             feats3d = self.backbone3d(slab, train=True)
             tsdf_slab, _ = self.tsdf_head(feats3d, None)
-        tsdf_out = {k: jax.lax.all_gather(t, view_axis, axis=1,
-                                          tiled=True)
-                    for k, t in tsdf_slab.items()}
+        # Gathered values consumed by computation REPLICATED across the
+        # view axis carry a 1/n gradient scale: the collective transposes
+        # sum the n identical replicated-tail cotangents, and the scale
+        # makes that sum exactly the true cotangent (see
+        # shard_ctx.scale_grad).  Sharded-module grads then assemble
+        # with psum over the view axis, the replicated detector's with
+        # pmean (train/loop.py).
+        inv_n = 1.0 / n
+        tsdf_out = {k: scale_grad(
+            jax.lax.all_gather(t, view_axis, axis=1, tiled=True), inv_n)
+            for k, t in tsdf_slab.items()}
         losses: Dict[str, jnp.ndarray] = {}
         if targets is not None:
             recon = tsdf_losses(tsdf_out, targets, self.tsdf_head.keys,
@@ -721,9 +736,9 @@ class CNRMA(nn.Module):
 
         per = jax.lax.map(per_view,
                           (proj_sc[0], sl + jnp.arange(vs)))  # [vs,K,..]
-        per = jax.tree_util.tree_map(
+        per = scale_grad(jax.tree_util.tree_map(
             lambda a: jax.lax.all_gather(a, view_axis, axis=0,
-                                         tiled=True), per)    # [V,K,..]
+                                         tiled=True), per), inv_n)
         n_flat = V * self.rays_per_view_cap
         flat = jax.tree_util.tree_map(
             lambda a: a.reshape((n_flat,) + a.shape[2:]), per)
@@ -731,8 +746,9 @@ class CNRMA(nn.Module):
         # ---- replicated tail: subsample, aug, detection --------------
         xyz, wts, uv, view, valid = _normalize_subsample(
             flat, rng_b, self.max_points)
-        feats_all = jax.lax.all_gather(feats_s, view_axis, axis=1,
-                                       tiled=True)            # [1,V,...]
+        feats_all = scale_grad(
+            jax.lax.all_gather(feats_s, view_axis, axis=1, tiled=True),
+            inv_n)                                            # [1,V,...]
         pf = _gather_point_feats(feats_all[0], uv, view, valid)
         pf = (pf * wts[:, None])[None]
         xyz = xyz[None] + batch["offset"][:, None, :]

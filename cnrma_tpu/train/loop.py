@@ -62,9 +62,11 @@ def make_train_step(model, tx, mesh=None, axis: str = "data",
     ``CNRMA.forward_view_sharded``.  This is the memory-scaling path for
     the reference's stage-3 finetune workload that does not fit a single
     16 GB chip (doc/performance.md "Training throughput"); gradients,
-    losses and BN stats come back as exact joint-scene values (pmean
-    over the view axis assembles sharded-module partials and averages
-    replicated-module copies — both yield the full gradient).
+    losses and BN stats come back as exact joint-scene values — sharded
+    modules as psum-assembled true partials, the replicated detector as
+    a pmean of identical full gradients (the ``scale_grad`` boundary in
+    the forward makes both exact; proven by
+    ``tests/test_view_sharded.py:TestBoundaryGradParity``).
 
     With ``mesh`` the gradient computation runs under ``shard_map`` over
     ``mesh[axis]``: each device executes the model on its LOCAL scene
@@ -133,7 +135,16 @@ def make_train_step(model, tx, mesh=None, axis: str = "data",
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
 
-        red_axes = (axis,) if view_axis is None else (axis, view_axis)
+        def reduce_view(grads):
+            """Assemble the exact per-scene gradient across the view
+            axis: sharded modules (tower/U-Net/TSDF head) return TRUE
+            per-device partials (the ``scale_grad`` boundary in
+            ``forward_view_sharded`` normalizes the replicated-tail
+            cotangents) — summed with psum; the replicated detector
+            computes the full gradient on every device — averaged."""
+            return {k: (jax.lax.pmean(v, view_axis) if k == "detector"
+                        else jax.lax.psum(v, view_axis))
+                    for k, v in grads.items()}
 
         def per_device(params, batch_stats, batch, rng_sample, rng_aug):
             # distinct sample/aug streams per DATA shard; devices of the
@@ -143,11 +154,15 @@ def make_train_step(model, tx, mesh=None, axis: str = "data",
                 params, batch_stats, batch,
                 jax.random.fold_in(rng_sample, ix),
                 jax.random.fold_in(rng_aug, ix), pmean_axis=axis)
+            if view_axis is not None:
+                grads = reduce_view(grads)
+                # losses/stats are view-replicated; pmean = identity
+                loss = jax.lax.pmean(loss, view_axis)
+                losses = jax.lax.pmean(losses, view_axis)
+                new_stats = jax.lax.pmean(new_stats, view_axis)
             # DDP gradient mean + cross-rank log averaging; BN running
-            # stats are averaged too (reference leaves them per-rank).
-            # Over the view axis the pmean assembles the exact per-scene
-            # gradient (see make_train_step docstring).
-            pm = lambda t: jax.lax.pmean(t, red_axes)
+            # stats are averaged too (reference leaves them per-rank)
+            pm = lambda t: jax.lax.pmean(t, axis)
             return pm(loss), pm(losses), pm(new_stats), pm(grads)
 
         inner = jax.shard_map(

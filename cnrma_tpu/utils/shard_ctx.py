@@ -30,6 +30,7 @@ only; replicated stages (the sparse detector) trace outside the context.
 from __future__ import annotations
 
 import contextlib
+import functools
 from contextvars import ContextVar
 from typing import Optional
 
@@ -66,6 +67,42 @@ def halo_axis(axis_name: Optional[str]):
 
 def current_halo_axis() -> Optional[str]:
     return _HALO.get()
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _scale_grad_impl(x, factor):
+    return x
+
+
+def _scale_grad_fwd(x, factor):
+    return x, None
+
+
+def _scale_grad_bwd(factor, _res, g):
+    return (g * factor,)
+
+
+_scale_grad_impl.defvjp(_scale_grad_fwd, _scale_grad_bwd)
+
+
+def scale_grad(tree, factor: float):
+    """Identity forward; cotangent scaled by ``factor`` on the way back.
+
+    The sharded->replicated boundary correction of the view-sharded
+    train step: a value produced by an ``all_gather``/``psum`` and then
+    consumed by computation REPLICATED across the axis sends its
+    cotangent into the collective transpose once per device — the
+    transpose sums the n identical copies, inflating upstream gradients
+    n-fold.  Wrapping the gathered value with ``scale_grad(1/n)`` makes
+    the summed boundary cotangent exactly the true one, so sharded-
+    module gradients come back as TRUE partials (assembled with
+    ``psum``) while the replicated module's own parameters still see
+    full gradients (assembled with ``pmean``).
+    """
+    return jax.tree_util.tree_map(
+        lambda x: (_scale_grad_impl(x, factor)
+                   if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+                   else x), tree)
 
 
 def _perm_fwd(n: int):

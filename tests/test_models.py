@@ -309,8 +309,11 @@ class TestFCAF3DDetector:
 
 class TestBuildVolumeKnobGating:
     """bp_rect / bp_tile wiring: the model must pass the rect kwargs only
-    when the tile gate engages (>= 4096 tiles), with capacities derived
-    from bp_rect_frac / bp_overflow_frac."""
+    when the tile gate engages (>= 4096 tiles) AND the Pallas rect
+    kernel would serve the shapes/backend (round 5: the pure-XLA rect
+    formulation measured slower than row gathers, so ineligible setups
+    fall back to the tiled path), with capacities derived from
+    bp_rect_frac / bp_overflow_frac."""
 
     def _capture(self, model):
         import cnrma_tpu.models.cn_rma as m
@@ -323,7 +326,7 @@ class TestBuildVolumeKnobGating:
 
         return captured, spy
 
-    def _run(self, monkeypatch, voxel_dim, **model_kw):
+    def _run(self, monkeypatch, voxel_dim, feat_hw=(8, 8), **model_kw):
         import jax
         import jax.numpy as jnp
         import numpy as np
@@ -333,8 +336,9 @@ class TestBuildVolumeKnobGating:
                       detection=False, **model_kw)
         captured, spy = self._capture(model)
         monkeypatch.setattr(m, "accumulate_views", spy)
-        v, h, w = 1, 32, 32
-        feats = jnp.zeros((1, v, h // 4, w // 4, 32), jnp.float32)
+        v = 1
+        fh, fw = feat_hw
+        feats = jnp.zeros((1, v, fh, fw, 32), jnp.float32)
         proj = jnp.asarray(
             np.broadcast_to(np.eye(3, 4, dtype=np.float32), (1, v, 3, 4)))
         valid = jnp.ones((1, v), bool)
@@ -342,7 +346,9 @@ class TestBuildVolumeKnobGating:
         return captured
 
     def test_rect_on_when_tile_gate_engages(self, monkeypatch):
-        cap = self._run(monkeypatch, (256, 256, 96),
+        # kernel-eligible feature shape + interpret-mode Pallas decision
+        monkeypatch.setenv("CNRMA_BP_PALLAS", "interpret")
+        cap = self._run(monkeypatch, (256, 256, 96), feat_hw=(32, 32),
                         bp_rect_h=24, bp_rect_w=32, bp_rect_frac=0.5,
                         bp_overflow_frac=0.05)
         n_tiles = (256 // 8) * (256 // 8) * (96 // 8)
@@ -351,12 +357,26 @@ class TestBuildVolumeKnobGating:
         assert cap["rect_capacity"] == round(0.5 * n_tiles)
         assert cap["tile_capacity"] == round(0.05 * n_tiles)
 
+    def test_rect_default_on_when_eligible(self, monkeypatch):
+        # round-5 default: 32x32 rect engages by itself when eligible
+        monkeypatch.setenv("CNRMA_BP_PALLAS", "interpret")
+        cap = self._run(monkeypatch, (256, 256, 96), feat_hw=(32, 32))
+        n_tiles = (256 // 8) * (256 // 8) * (96 // 8)
+        assert cap["rect"] == (32, 32)
+        assert cap["tile_capacity"] == round(0.06 * n_tiles)
+
     def test_rect_off_on_small_grids(self, monkeypatch):
+        monkeypatch.setenv("CNRMA_BP_PALLAS", "interpret")
         cap = self._run(monkeypatch, (16, 16, 8),
                         bp_rect_h=24, bp_rect_w=32)
         assert cap["tile"] == 0 and cap["rect"] == (0, 0)
 
-    def test_rect_off_by_default(self, monkeypatch):
-        cap = self._run(monkeypatch, (256, 256, 96))
+    def test_rect_off_when_pallas_ineligible(self, monkeypatch):
+        # non-TPU backend (auto mode on CPU) -> the rect kwargs must NOT
+        # reach the accumulate call even though rect is configured: the
+        # XLA rect formulation loses to the row-gather tiled path
+        monkeypatch.delenv("CNRMA_BP_PALLAS", raising=False)
+        cap = self._run(monkeypatch, (256, 256, 96), feat_hw=(32, 32),
+                        bp_rect_h=24, bp_rect_w=32)
         assert cap["rect"] == (0, 0)
         assert cap["tile"] == 8
