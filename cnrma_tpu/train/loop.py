@@ -386,7 +386,8 @@ def run_training(model, tx, loader, *, epochs: int, state: TrainState,
                  mesh=None, start_epoch: int = 0,
                  max_steps: Optional[int] = None,
                  val_loader=None, eval_interval: int = 1,
-                 eval_metric: str = "loss") -> TrainState:
+                 eval_metric: str = "loss",
+                 view_axis: Optional[str] = None) -> TrainState:
     """Epoch-based training driver.  ``max_steps`` stops early (smoke
     runs / debugging), checkpointing the final state.
 
@@ -398,8 +399,9 @@ def run_training(model, tx, loader, *, epochs: int, state: TrainState,
     selects by highest val mAP@0.25 (the metric the reference's offline
     workflow optimizes)."""
     mesh = mesh or make_mesh()
-    step_fn = make_train_step(model, tx,
-                              mesh=mesh if mesh.size > 1 else None)
+    step_fn = make_train_step(
+        model, tx, mesh=mesh if mesh.size > 1 else None,
+        view_axis=view_axis if mesh.size > 1 else None)
     eval_step = make_eval_step(model) if val_loader is not None else None
     logger = TextLogger(work_dir, log_interval)
     rng = jax.random.PRNGKey(seed)

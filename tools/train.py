@@ -33,6 +33,12 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=None,
                    help="scenes per step (default: one per device)")
+    p.add_argument("--view-shards", type=int, default=1,
+                   help="shard each scene across N devices on a "
+                        "('data','view') mesh: views for the 2D tower/"
+                        "volume/ray-march, X-slabs for the 3D U-Net — "
+                        "fits the stage-3 finetune workload on chips it "
+                        "exceeds alone (doc/performance.md)")
     p.add_argument("--max-steps", type=int, default=None,
                    help="stop after N optimizer steps (debug)")
     p.add_argument("--cfg-options", nargs="+", default=[],
@@ -65,8 +71,20 @@ def main():
     with open(os.path.join(work_dir, "config_dump.py"), "w") as f:
         f.write(cfg.dump())
 
-    mesh = make_mesh()
-    n_dev = int(np.prod([d for d in mesh.devices.shape]))
+    n_all = len(__import__("jax").devices())
+    vshards = max(1, args.view_shards)
+    if vshards > 1:
+        if n_all % vshards:
+            raise SystemExit(f"--view-shards {vshards} must divide the "
+                             f"{n_all} visible devices")
+        mesh = make_mesh(shape=(n_all // vshards, vshards),
+                         axis_names=("data", "view"))
+        print(f"mesh: {n_all // vshards} data x {vshards} view shards "
+              "(intra-scene sharded training)")
+    else:
+        mesh = make_mesh()
+    n_dev = int(mesh.shape["data"] if "data" in mesh.shape else
+                np.prod([d for d in mesh.devices.shape]))
     batch_size = args.batch_size or n_dev
 
     dataset = build_dataset(cfg, "train", seed=args.seed)
@@ -160,7 +178,8 @@ def main():
             "interval", 10)),
         mesh=mesh, start_epoch=start_epoch, max_steps=args.max_steps,
         val_loader=val_loader, eval_interval=eval_interval,
-        eval_metric=eval_metric)
+        eval_metric=eval_metric,
+        view_axis="view" if vshards > 1 else None)
 
 
 if __name__ == "__main__":
