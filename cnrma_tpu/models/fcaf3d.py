@@ -321,21 +321,32 @@ def decode_bbox(points: jnp.ndarray, bbox_pred: jnp.ndarray,
             bbox_pred[..., 2] + bbox_pred[..., 3],
             bbox_pred[..., 4] + bbox_pred[..., 5],
             bbox_pred[..., 6]], axis=-1)
+    # NaN-safety at (sin, cos) == (0, 0): sqrt/atan2 have infinite
+    # backward there, and our STATIC-shape padding rows hit it exactly
+    # (zero features -> zero predictions), poisoning the whole gradient
+    # through the inf * 0-cotangent product even though the loss masks
+    # them (the reference's dynamic shapes never evaluate such rows).
+    # Valid rows are bit-identical: the substitution only applies where
+    # s == c == 0.
+    s6, c7 = bbox_pred[..., 6], bbox_pred[..., 7]
+    sq = s6 ** 2 + c7 ** 2
+    degenerate = sq == 0.0
+    sq_safe = jnp.where(degenerate, 1.0, sq)
+    c7_safe = jnp.where(degenerate, 1.0, c7)
     if yaw_parametrization == "sin-cos":
-        norm = jnp.sqrt(bbox_pred[..., 6] ** 2 + bbox_pred[..., 7] ** 2)
-        norm = jnp.maximum(norm, 1e-12)
+        norm = jnp.maximum(jnp.where(degenerate, 1.0,
+                                     jnp.sqrt(sq_safe)), 1e-12)
         return jnp.stack([
             x, y, z,
             bbox_pred[..., 0] + bbox_pred[..., 1],
             bbox_pred[..., 2] + bbox_pred[..., 3],
             bbox_pred[..., 4] + bbox_pred[..., 5],
-            jnp.arctan2(bbox_pred[..., 6] / norm,
-                        bbox_pred[..., 7] / norm)], axis=-1)
+            jnp.arctan2(s6 / norm, c7_safe / norm)], axis=-1)
     # 'fcaf3d': sin(2a)ln(q), cos(2a)ln(q)
     scale = (bbox_pred[..., 0] + bbox_pred[..., 1]
              + bbox_pred[..., 2] + bbox_pred[..., 3])
-    q = jnp.exp(jnp.sqrt(bbox_pred[..., 6] ** 2 + bbox_pred[..., 7] ** 2))
-    alpha = 0.5 * jnp.arctan2(bbox_pred[..., 6], bbox_pred[..., 7])
+    q = jnp.exp(jnp.where(degenerate, 0.0, jnp.sqrt(sq_safe)))
+    alpha = 0.5 * jnp.arctan2(s6, c7_safe)
     return jnp.stack([
         x, y, z,
         scale / (1 + q),

@@ -62,7 +62,16 @@ def iou3d_loss(pred_boxes: jnp.ndarray, target_boxes: jnp.ndarray,
     Boxes are (cx, cy, cz, dx, dy, dz[, yaw]) with gravity-center z.
     """
     if with_yaw:
-        iou = rotated_iou_3d(pred_boxes, target_boxes)
+        # Substitute INVALID rows (padding / background: degenerate
+        # zero-size boxes from zero-feature slots) with a unit box
+        # before the polygon clip: the rotated-IoU backward hits
+        # inf * 0-cotangent NaNs on degenerate geometry even though the
+        # mask below discards those rows' values.  Valid rows are
+        # untouched.
+        unit = jnp.asarray([0., 0., 0., 1., 1., 1., 0.], jnp.float32)
+        pred_s = jnp.where(valid[:, None], pred_boxes, unit)
+        targ_s = jnp.where(valid[:, None], target_boxes, unit)
+        iou = rotated_iou_3d(pred_s, targ_s)
     else:
         iou = aligned_iou_3d(pred_boxes, target_boxes)
     loss = (1.0 - iou) * weight

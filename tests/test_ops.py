@@ -786,3 +786,53 @@ class TestViewMeshModelPath:
                 return r[np.lexsort(r.T[::-1])]
             np.testing.assert_allclose(rows(sharded, sv), rows(dense, dv),
                                        atol=1e-5)
+
+
+class TestYawLossNaNSafety:
+    """Rotated-IoU training path must produce FINITE gradients with
+    static-shape padding rows (exactly-zero predictions / zero-size
+    boxes) — sqrt/atan2 have infinite backward at (0, 0) and the
+    polygon clip NaNs on degenerate geometry; decode_bbox and
+    iou3d_loss substitute safe values on exactly those rows (values of
+    valid rows are bit-identical).  Regression for the round-5 yaw
+    overfit NaN (ARKit regime, ray_marching_arkit.py:193-201)."""
+
+    def test_yaw_loss_grads_finite_with_padding(self):
+        from cnrma_tpu.models.fcaf3d import decode_bbox
+        from cnrma_tpu.ops.losses import iou3d_loss
+
+        rng = np.random.RandomState(0)
+        n = 64
+        points = jnp.asarray(rng.rand(n, 3).astype(np.float32))
+        bp = jnp.asarray(rng.rand(n, 8).astype(np.float32))
+        bp = bp.at[32:].set(0.0)          # padding: zero predictions
+        targets = jnp.asarray(rng.rand(n, 7).astype(np.float32))
+        targets = targets.at[32:].set(0.0)  # padding: zero-size boxes
+        valid = jnp.asarray(np.arange(n) < 20)
+        w = jnp.ones((n,), jnp.float32)
+
+        def f(bp):
+            preds = decode_bbox(points, bp, "fcaf3d")
+            return iou3d_loss(preds, targets, w, valid,
+                              jnp.float32(10.0), True)
+
+        v, g = jax.value_and_grad(f)(bp)
+        assert np.isfinite(float(v))
+        assert np.isfinite(np.asarray(g)).all()
+        # masked rows contribute exactly nothing
+        assert np.abs(np.asarray(g)[32:]).sum() == 0.0
+
+    def test_decode_bbox_valid_rows_unchanged(self):
+        """The degenerate-row substitution must not perturb non-zero
+        rows: decode with and without a zero row mixed in matches."""
+        from cnrma_tpu.models.fcaf3d import decode_bbox
+
+        rng = np.random.RandomState(1)
+        points = jnp.asarray(rng.rand(8, 3).astype(np.float32))
+        bp = jnp.asarray((rng.rand(8, 8) + 0.1).astype(np.float32))
+        for param in ("fcaf3d", "sin-cos", "naive"):
+            full = decode_bbox(points, bp, param)
+            mixed = decode_bbox(points, bp.at[3].set(0.0), param)
+            keep = np.asarray([0, 1, 2, 4, 5, 6, 7])
+            np.testing.assert_array_equal(np.asarray(full)[keep],
+                                          np.asarray(mixed)[keep])
